@@ -1,0 +1,116 @@
+"""Configuration dataclasses for the detection pipeline.
+
+Mirrors the module-global tunables of the reference
+(``FaceDetectUpdated.py:79-127``) as a frozen dataclass, plus the per-family
+patch geometry headers parsed from pipeline files
+(``Pipelines/Pipeline_experimental.txt:2-4``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class NetGeometry:
+    """Patch geometry header for one network family.
+
+    Reference: pipeline header lines parsed at ``face_analysis.py:383-432``.
+    ``Dx/Dy`` are the positional label ranges (in regression pixels), ``Dang``
+    the angular range (degrees), ``mins/maxs`` the sampling (scale) envelope,
+    ``subimage_*`` the physical patch size fed to the network and
+    ``regression_*`` the logical size in which labels are expressed.
+    """
+
+    Dx: float = 40.0
+    Dy: float = 20.0
+    Dang: float = 22.5
+    mins: float = 0.694
+    maxs: float = 0.981
+    subimage_width: int = 64
+    subimage_height: int = 64
+    regression_width: int = 128
+    regression_height: int = 128
+
+
+# The canonical face-detection sampling: the face occupies 0.825 of the
+# regression box (reference: `desired_sampling=0.825`, FaceDetectUpdated.py:729).
+DESIRED_SAMPLING = 0.825
+# Normalized eye scale relative to its eye box (face_analysis.py:61).
+EYE_SAMPLING = 2.3719
+# Canonical face triangle: inter-eye distance x eyes-to-mouth height
+# (face_normalization_tools.py:29-30).
+CANONICAL_DIST_EYES = 37.0
+CANONICAL_TRIANGLE_HEIGHT = 42.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Top-level detection configuration.
+
+    Field-for-field port of the reference's module globals
+    (``FaceDetectUpdated.py:79-127``); see each comment for the source line.
+    """
+
+    # Grid construction
+    smallest_face: float = 0.20              # :84
+    adaptive_grid_coords: bool = True        # :82
+    adaptive_grid_scale: bool = True         # :83
+    patch_overlap_sampling: float = 1.1      # :110
+    patch_overlap_posx_posy: float = 1.1     # :111
+
+    # Cascade rejection tolerances (:113-115)
+    tolerance_scale_deviation: float = 1.1
+    tolerance_angle_deviation: float = 1.1
+    tolerance_posxy_deviation: float = 1.1
+
+    # Discrimination cutoff ladder, indexed by network "serial" digit (:98)
+    cut_offs_face: Tuple[float, ...] = (
+        0.99, 0.95, 0.85, 0.8, 0.7, 0.6, 0.5, 0.45, 0.10, 0.05)
+    last_cut_off_face: float = -1.0          # :99 (>=0 overrides slot 9)
+
+    # Interpolation per serial digit (:125). "nearest" | "bilinear"
+    interpolation_formats: Tuple[str, ...] = ("nearest",) * 10
+
+    # Analysis heads (:117-119)
+    estimate_age: bool = True
+    estimate_gender: bool = True
+    estimate_race: bool = True
+
+    # Image prescaling (:121-123)
+    image_prescaling: bool = True
+    prescale_size: int = 1000
+
+    # Output formatting (:90, :100)
+    right_screen_eye_first: bool = False
+    write_age_race_gender_confidence: bool = True
+
+    # Tracking & misc (:104, :94)
+    track_single_face: bool = False
+    skip_existing_output: bool = False
+
+    # Eye localization rejection threshold (face_analysis.py:1018 tolerance_xy_eye)
+    tolerance_xy_eye: float = 9.0
+
+    # NMS threshold on relative eye error (face_analysis.py:217)
+    purge_threshold: float = 0.25
+
+    # TPU execution: patch batches are padded to the next bucket size so XLA
+    # compiles a handful of shapes instead of one per grid (SURVEY.md para 5b).
+    bucket_sizes: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
+
+    def resolved_cut_offs(self) -> Tuple[float, ...]:
+        """Applies ``last_cut_off_face`` to slot 9 (FaceDetectUpdated.py:434-438)."""
+        cs = list(self.cut_offs_face)
+        if self.last_cut_off_face >= 0:
+            cs[9] = self.last_cut_off_face
+        return tuple(cs)
+
+
+def bucket_size(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (falls back to the largest bucket)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return max(max(buckets), int(n))

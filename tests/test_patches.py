@@ -1,0 +1,98 @@
+"""Tests of the batched rotated patch gather."""
+
+import numpy as np
+
+from pyfaceanalysis_tpu.ops.patches import (extract_centered_patch,
+                                            extract_patches_rotate)
+from pyfaceanalysis_tpu.ops.contrast import (contrast_enhance_patches,
+                                             contrast_normalize_avg_std)
+
+
+def test_identity_crop_nearest():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 48)).astype(np.float32)
+    # Box covering exactly pixels [4..11] x [2..9] (inclusive), no resize.
+    boxes = np.array([[4.0, 2.0, 11.0, 9.0]])
+    out = np.asarray(extract_patches_rotate(img, boxes, np.zeros(1), (8, 8),
+                                            method="nearest"))
+    np.testing.assert_allclose(out[0], img[2:10, 4:12], atol=1e-6)
+
+
+def test_identity_crop_bilinear():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(32, 48)).astype(np.float32)
+    boxes = np.array([[4.0, 2.0, 11.0, 9.0]])
+    out = np.asarray(extract_patches_rotate(img, boxes, np.zeros(1), (8, 8),
+                                            method="bilinear"))
+    np.testing.assert_allclose(out[0], img[2:10, 4:12], atol=1e-6)
+
+
+def test_downscale_averages():
+    # A 2x checkerboard downscaled 2x bilinearly gives the mean.
+    img = np.zeros((16, 16), np.float32)
+    img[::2, ::2] = 1.0
+    img[1::2, 1::2] = 1.0
+    boxes = np.array([[0.0, 0.0, 15.0, 15.0]])
+    out = np.asarray(extract_patches_rotate(img, boxes, np.zeros(1), (8, 8)))
+    np.testing.assert_allclose(out[0], 0.5, atol=1e-6)
+
+
+def test_rotation_90_degrees():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(33, 33)).astype(np.float32)
+    # Centered 11x11 box rotated by 90 degrees == transpose+flip of the crop.
+    boxes = np.array([[11.0, 11.0, 21.0, 21.0]])
+    base = np.asarray(extract_patches_rotate(img, boxes, np.zeros(1), (11, 11),
+                                             method="nearest"))[0]
+    rot = np.asarray(extract_patches_rotate(img, boxes, np.array([90.0]),
+                                            (11, 11), method="nearest"))[0]
+    # Sampling grid rotated +90deg: out(i, j) samples source at center +
+    # R(90)(du, dv) = (-dv, du) -> rot[i, j] == base[j, n-1-i].
+    np.testing.assert_allclose(rot, np.flip(base, axis=1).T, atol=1e-6)
+
+
+def test_out_of_bounds_zero_fill():
+    img = np.ones((16, 16), np.float32)
+    boxes = np.array([[-8.0, -8.0, 7.0, 7.0]])
+    out = np.asarray(extract_patches_rotate(img, boxes, np.zeros(1), (16, 16),
+                                            method="nearest"))
+    # Top-left quadrant out of image -> 0; bottom-right in image -> 1.
+    assert out[0, 0, 0] == 0.0
+    assert out[0, 15, 15] == 1.0
+
+
+def test_batched_shapes():
+    img = np.zeros((64, 64), np.float32)
+    B = 17
+    boxes = np.tile(np.array([[0.0, 0.0, 31.0, 31.0]]), (B, 1))
+    out = extract_patches_rotate(img, boxes, np.zeros(B), (64, 64))
+    assert out.shape == (B, 64, 64)
+
+
+def test_extract_centered_patch():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(260, 256)).astype(np.float32)
+    out = np.asarray(extract_centered_patch(img, 1.0, 10.0, 20.0, 0.0, 0.0,
+                                            (96, 96)))
+    np.testing.assert_allclose(out[0], img[10:106, 20:116], atol=1e-6)
+
+
+def test_contrast_normalize_avg_std():
+    rng = np.random.default_rng(4)
+    p = rng.uniform(0, 255, size=(5, 64)).astype(np.float32)
+    out = np.asarray(contrast_normalize_avg_std(p, 137.5, 0.4 * 255))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    # Unclipped rows should land on the target mean.
+    mild = rng.normal(size=(3, 4096)).astype(np.float32) * 1 + 128
+    out2 = np.asarray(contrast_normalize_avg_std(mild, 137.5, 10.0))
+    np.testing.assert_allclose(out2.mean(axis=1), 137.5, atol=0.5)
+    np.testing.assert_allclose(out2.std(axis=1), 10.0, atol=0.5)
+
+
+def test_contrast_enhance_patches():
+    rng = np.random.default_rng(5)
+    p = rng.uniform(size=(4, 8, 8)).astype(np.float32)
+    out = np.asarray(contrast_enhance_patches(p, obj_avg=0.11, obj_std=0.15))
+    flat = out.reshape(4, -1)
+    np.testing.assert_allclose(flat.mean(axis=1), 0.11, atol=1e-4)
+    np.testing.assert_allclose(flat.std(axis=1), 0.15, atol=1e-3)
