@@ -1,0 +1,168 @@
+"""Benchmark: full-pipeline detection throughput on the canonical image.
+
+Measures windows/sec of the complete detection pass (all-scales grid ->
+17-stage masked cascade -> eye localization -> NMS -> age/race/gender heads)
+on ``sample_images/TNS-Group.jpg`` at ``--smallest_face=0.1`` -- the
+reference README's canonical command (README.md:43). The reference publishes
+no numbers (BASELINE.md), so ``vs_baseline`` compares against a self-measured
+CPU emulation of the reference execution model: NumPy per-layer flow
+execution + per-class Gaussian regression over the same window count (a
+FLATTERING stand-in for the real Python-2/MDP/PIL stack, which additionally
+pays per-patch PIL warps and per-node Python dispatch -- the true speedup is
+higher).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMAGE = "/root/reference/sample_images/TNS-Group.jpg"
+ARTIFACT_DIR = os.environ.get("PFA_PIPELINE_DIR", "SavedNetworksTPU")
+SMALLEST_FACE = 0.1
+TIMED_RUNS = 5
+
+
+def _get_model():
+    """Trained artifacts if present, else random-weight networks with the
+    production topology (throughput is weight-independent)."""
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel
+
+    if os.path.isdir(ARTIFACT_DIR) and os.path.exists(
+            os.path.join(ARTIFACT_DIR, "Pipeline_tpu.txt")):
+        return DetectionModel.load(ARTIFACT_DIR)
+
+    from pyfaceanalysis_tpu.config import NetGeometry
+    from pyfaceanalysis_tpu.io.pipeline import PipelineSpec, StageSpec
+    from pyfaceanalysis_tpu.models import builder
+    from pyfaceanalysis_tpu.models.init import (
+        random_classifier,
+        random_network_params,
+    )
+    from pyfaceanalysis_tpu.training.trainer import _STAGE_LAYOUT
+
+    nets = {}
+    for name, side in [("net_disc", 64), ("net_disc_final", 64),
+                       ("net_pose0", 64), ("net_pose1", 64), ("net_eye", 64)]:
+        nets[name] = random_network_params(builder.build_higsfa(side),
+                                           seed=hash(name) % 2 ** 31)
+    nets["net_age"] = random_network_params(builder.build_pca_net(96), seed=7)
+
+    ranges = {"Disc": (0, 1), "PosX": (-20, 20), "PosY": (-13, 13),
+              "PAng": (-22, 22), "Scale": (0.7, 0.98), "EyeLX": (-10, 10),
+              "EyeLY": (-10, 10), "Age": (16, 58), "Race": (-2, 2),
+              "Gender": (-1, 1)}
+    classifiers = []
+    for i, (t, n, c, dim) in enumerate(_STAGE_LAYOUT):
+        kind = t if t in ranges else t[:-1]
+        lo, hi = ranges[kind]
+        nc = 2 if t in ("Race", "Gender") else 10
+        classifiers.append(random_classifier(dim, nc, lo, hi, seed=i))
+
+    stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
+    eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
+                           regression_width=64, regression_height=64)
+    age_geom = NetGeometry(Dx=0, Dy=0, subimage_width=96, subimage_height=96,
+                           regression_width=160, regression_height=160)
+    spec = PipelineSpec(NetGeometry(), eye_geom, age_geom, stages)
+    return DetectionModel(spec, nets, classifiers)
+
+
+def _load_image():
+    from pyfaceanalysis_tpu.io import images as im_io
+
+    if os.path.exists(REFERENCE_IMAGE):
+        image, _ = im_io.load_image(REFERENCE_IMAGE, prescale_size=1000)
+        return image
+    rng = np.random.RandomState(0)
+    return rng.rand(750, 1000).astype(np.float32)
+
+
+def _cpu_reference_windows_per_sec(model, n_windows: int = 256) -> float:
+    """NumPy emulation of the reference execution model: 17 stages of flow
+    execution + Gaussian regression on the window batch (single process,
+    float64 like MDP). Patch warping (a major reference cost) is excluded."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(n_windows, 4096)
+
+    def np_flow(net, x):
+        cur = x
+        for spec, node in zip(net.specs, net.params):
+            idx = spec.indices_array()
+            fields = cur[:, idx]                         # (N, F, k)
+            exp = np.asarray(spec.expansion(fields))
+            W = np.asarray(node.W, np.float64)
+            mean = np.asarray(node.mean, np.float64)
+            cur = np.einsum("nfd,fdo->nfo", exp - mean, W)
+            cur = cur.reshape(cur.shape[0], -1)
+        return cur
+
+    def np_regress(clf, sl):
+        d = clf.input_dim
+        x = sl[:, :d]
+        means = np.asarray(clf.means, np.float64)
+        icov = np.asarray(clf.inv_covs, np.float64)
+        diff = x[:, None, :] - means[None]
+        maha = np.einsum("bcd,cde,bce->bc", diff, icov, diff)
+        logp = np.asarray(clf.log_norm, np.float64)[None] - 0.5 * maha
+        logp -= logp.max(axis=1, keepdims=True)
+        p = np.exp(logp)
+        p /= p.sum(axis=1, keepdims=True)
+        return p @ np.asarray(clf.avg_labels, np.float64)
+
+    t0 = time.time()
+    sl = None
+    for st in model.plan:
+        if st.net_idx >= 0:
+            name = model.det_net_names[st.net_idx]
+            sl = np_flow(model.nets[name], x)
+        np_regress(model.classifiers[st.clf_idx], sl)
+    dt = time.time() - t0
+    return n_windows / dt
+
+
+def main() -> int:
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import FaceDetector
+
+    model = _get_model()
+    image = _load_image()
+    cfg = DetectorConfig(smallest_face=SMALLEST_FACE)
+    detector = FaceDetector(model, cfg)
+
+    # Warmup (compilation) + timed steady-state runs of the FULL pipeline.
+    detections = detector.detect(image)
+    n_windows = detector.windows_scanned
+    t0 = time.time()
+    for _ in range(TIMED_RUNS):
+        detector.detect(image)
+    dt = (time.time() - t0) / TIMED_RUNS
+    wps = n_windows / dt
+
+    cpu_wps = _cpu_reference_windows_per_sec(model)
+    result = {
+        "metric": "detection_windows_per_sec (TNS-Group.jpg, "
+                  "smallest_face=0.1, full pipeline incl. eyes+ARG)",
+        "value": round(wps, 1),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / cpu_wps, 2),
+        "detail": {
+            "windows_per_image": int(n_windows),
+            "seconds_per_image": round(dt, 4),
+            "detections": len(detections),
+            "cpu_reference_windows_per_sec": round(cpu_wps, 1),
+            "timed_runs": TIMED_RUNS,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

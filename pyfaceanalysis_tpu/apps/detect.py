@@ -1,0 +1,285 @@
+"""pfa-detect: the FaceDetectUpdated.py-compatible detection CLI.
+
+Supports the reference's switch set (FaceDetectUpdated.py:276-413) and the
+same three invocation modes:
+
+    pfa-detect [switches] image.jpg out.txt
+    pfa-detect --batch=batchfile.txt
+    pfa-detect [switches]            (no files: prints usage)
+
+Boolean switches accept the reference's ``--flag=1/0`` form; flags that only
+make sense with a display (plots, pygame, camera) are accepted and honored
+when the optional backends exist, otherwise politely ignored with a notice.
+Output files are opened in APPEND mode like the reference
+(FaceDetectUpdated.py:1260).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import getopt
+import os
+import sys
+import time
+from typing import List, Optional
+
+from pyfaceanalysis_tpu.config import DetectorConfig
+from pyfaceanalysis_tpu.utils.benchmark import Benchmark
+
+USAGE = """pfa-detect: TPU-native face detection + age/race/gender estimation
+
+Usage (either A or B):
+  A) pfa-detect [switches] image_filename results_filename
+  B) pfa-detect [switches] --batch=batch_filename
+     (batch file: alternating image/output filename lines)
+
+Output rows: x0, y0, x1, y1, angle, xl, yl, xr, yr[, age, race, gender, conf]
+
+Switches (reference-compatible, FaceDetectUpdated.py):
+  --smallest_face=K           smallest face size / min image side (default 0.2)
+  --right_screen_eye_first    swap eye order in output rows
+  --batch=FILE                batch mode
+  --skip_existing_output=1    skip images whose output file exists
+  --write_results=0           do not write output files
+  --adaptive_grid_scale=0/1   multi-scale ladder on/off
+  --adaptive_grid_coords=0/1
+  --last_cut_off_face=K       override the final Disc cutoff
+  --cut_offs_face=a,b,...     full 10-entry cutoff ladder
+  --write_age_race_gender_confidence=0/1
+  --estimate_age_race_gender=0/1
+  --image_prescaling=0/1      prescale to <=1000 px (default 1)
+  --track_single_face=0/1
+  --coordinates_filename=F    ground-truth eval (normalization-file format)
+  --true_coordinates_file=F   ground-truth eval (6-float format)
+  --display_errors=0/1 --display_plots=0/1 --show_final_detection=0/1
+  --save_patches=0/1 --save_normalized_face_detections=0/1
+  --network_figures_together=0/1 --camera_enabled=0/1 --pygame_display=0/1
+  --pipeline_dir=DIR          artifact directory (default SavedNetworksTPU)
+"""
+
+_LONG_OPTS = [
+    "batch=", "smallest_face=", "right_screen_eye_first", "display_errors=",
+    "display_plots=", "coordinates_filename=", "true_coordinates_file=",
+    "skip_existing_output=", "write_results=", "adaptive_grid_scale=",
+    "adaptive_grid_coords=", "save_patches=", "network_figures_together=",
+    "last_cut_off_face=", "cut_offs_face=",
+    "write_age_race_gender_confidence=", "show_final_detection=",
+    "camera_enabled=", "track_single_face=", "pygame_display=",
+    "estimate_age_race_gender=", "image_prescaling=",
+    "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
+]
+
+
+def _b(v: str) -> bool:
+    return v.strip() not in ("0", "False", "false", "")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    try:
+        opts, args = getopt.getopt(argv, "b:", _LONG_OPTS)
+    except getopt.GetoptError as e:
+        print("Error parsing options:", e)
+        print(USAGE)
+        return 2
+
+    cfg_kw = {}
+    batch_file = None
+    coordinates_filename = None
+    true_coordinates_file = None
+    write_results = True
+    display_flags = {}
+    pipeline_dir = os.environ.get("PFA_PIPELINE_DIR", "SavedNetworksTPU")
+    save_patches = False
+    save_normalized = False
+    verbose = True
+
+    for o, a in opts:
+        if o in ("-b", "--batch"):
+            batch_file = a
+        elif o == "--smallest_face":
+            cfg_kw["smallest_face"] = float(a)
+        elif o == "--right_screen_eye_first":
+            cfg_kw["right_screen_eye_first"] = True
+        elif o == "--skip_existing_output":
+            cfg_kw["skip_existing_output"] = _b(a)
+        elif o == "--write_results":
+            write_results = _b(a)
+        elif o == "--adaptive_grid_scale":
+            cfg_kw["adaptive_grid_scale"] = _b(a)
+        elif o == "--adaptive_grid_coords":
+            cfg_kw["adaptive_grid_coords"] = _b(a)
+        elif o == "--last_cut_off_face":
+            cfg_kw["last_cut_off_face"] = float(a)
+        elif o == "--cut_offs_face":
+            vals = tuple(float(v) for v in a.split(","))
+            if len(vals) != 10:
+                print("cut_offs_face needs 10 comma-separated values")
+                return 2
+            cfg_kw["cut_offs_face"] = vals
+        elif o == "--write_age_race_gender_confidence":
+            cfg_kw["write_age_race_gender_confidence"] = _b(a)
+        elif o == "--estimate_age_race_gender":
+            v = _b(a)
+            cfg_kw["estimate_age"] = v
+            cfg_kw["estimate_race"] = v
+            cfg_kw["estimate_gender"] = v
+        elif o == "--image_prescaling":
+            cfg_kw["image_prescaling"] = _b(a)
+        elif o == "--track_single_face":
+            cfg_kw["track_single_face"] = _b(a)
+        elif o == "--coordinates_filename":
+            coordinates_filename = a
+        elif o == "--true_coordinates_file":
+            true_coordinates_file = a
+        elif o == "--save_patches":
+            save_patches = _b(a)
+        elif o == "--save_normalized_face_detections":
+            save_normalized = _b(a)
+        elif o == "--pipeline_dir":
+            pipeline_dir = a
+        elif o == "--verbose":
+            verbose = _b(a)
+        elif o in ("--display_errors", "--display_plots",
+                   "--show_final_detection", "--network_figures_together",
+                   "--camera_enabled", "--pygame_display"):
+            display_flags[o.lstrip("-")] = _b(a)
+
+    image_filenames: List[str] = []
+    output_filenames: List[str] = []
+    if batch_file:
+        from pyfaceanalysis_tpu.io.writers import read_batch_file
+        image_filenames, output_filenames = read_batch_file(batch_file)
+    elif len(args) == 2:
+        image_filenames = [args[0]]
+        output_filenames = [args[1]]
+    elif len(args) == 1:
+        image_filenames = [args[0]]
+        output_filenames = [os.path.splitext(args[0])[0] + ".txt"]
+    else:
+        print(USAGE)
+        return 0
+
+    for k, v in display_flags.items():
+        if v:
+            print(f"notice: --{k} requested; interactive display backends "
+                  "are not bundled in the TPU build -- ignored")
+
+    cfg = DetectorConfig(**cfg_kw)
+    return run_detection(image_filenames, output_filenames, cfg,
+                         pipeline_dir=pipeline_dir,
+                         write_results=write_results,
+                         coordinates_filename=coordinates_filename,
+                         true_coordinates_file=true_coordinates_file,
+                         save_patches=save_patches,
+                         save_normalized=save_normalized, verbose=verbose)
+
+
+def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
+                  pipeline_dir: str = "SavedNetworksTPU",
+                  write_results: bool = True,
+                  coordinates_filename: Optional[str] = None,
+                  true_coordinates_file: Optional[str] = None,
+                  save_patches: bool = False, save_normalized: bool = False,
+                  verbose: bool = True) -> int:
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
+    from pyfaceanalysis_tpu.io import images as im_io
+    from pyfaceanalysis_tpu.io import writers
+
+    benchmark = Benchmark(enabled=verbose)
+    if not os.path.isdir(pipeline_dir):
+        print(f"error: pipeline directory {pipeline_dir!r} not found. "
+              "Run `pfa-train` first (or pass --pipeline_dir).")
+        return 1
+    model = DetectionModel.load(pipeline_dir)
+    benchmark.add_task_from_previous_time("Loaded networks and classifiers")
+    detector = FaceDetector(model, cfg)
+
+    truth = None
+    if coordinates_filename or true_coordinates_file:
+        from pyfaceanalysis_tpu.engine.evaluation import GroundTruthEvaluator
+        truth = GroundTruthEvaluator.from_files(coordinates_filename,
+                                                true_coordinates_file)
+
+    total_windows = 0
+    total_faces = 0
+    t_start = time.time()
+    for i, (img_fn, out_fn) in enumerate(zip(image_filenames,
+                                             output_filenames)):
+        if cfg.skip_existing_output and os.path.exists(out_fn):
+            if verbose:
+                print(f"skipping {img_fn} (output exists)")
+            continue
+        benchmark.update_start_time()
+        image, factor = im_io.load_image(
+            img_fn, cfg.prescale_size if cfg.image_prescaling else None)
+        benchmark.add_task_from_previous_time("Image loaded or captured")
+        detections = detector.detect(image)
+        benchmark.add_task_from_previous_time("Full detection pass")
+        total_windows += detector.windows_scanned
+        total_faces += len(detections)
+        if verbose:
+            print(f"{img_fn}: {len(detections)} face(s) "
+                  f"[{detector.windows_scanned} windows scanned]")
+            for d in detections:
+                extra = ""
+                if d.age is not None:
+                    extra = (f" age={d.age:.1f}+-{d.age_std:.1f}"
+                             f" race={d.race} gender={d.gender}")
+                print(f"  box={tuple(round(v, 1) for v in d.box)} "
+                      f"angle={d.angle:.1f} conf={d.confidence:.3f}{extra}")
+        if truth is not None:
+            truth.record(img_fn, detections)
+        if save_normalized or save_patches:
+            _save_side_outputs(image, detections, save_patches,
+                               save_normalized, i)
+        if write_results:
+            writers.write_detections(
+                out_fn, detections,
+                right_screen_eye_first=cfg.right_screen_eye_first,
+                write_age_race_gender_confidence=(
+                    cfg.write_age_race_gender_confidence
+                    and cfg.estimate_age))
+        benchmark.add_task_from_previous_time("Results written")
+
+    dt = time.time() - t_start
+    if verbose:
+        n_img = max(len(image_filenames), 1)
+        print(f"\nprocessed {n_img} image(s), {total_faces} face(s), "
+              f"{total_windows} windows in {dt:.2f}s "
+              f"({total_windows / max(dt, 1e-9):.0f} windows/s)")
+        benchmark.display()
+    if truth is not None:
+        truth.report()
+    return 0
+
+
+def _save_side_outputs(image, detections, save_patches, save_normalized,
+                       index) -> None:
+    """saved_patches/*.jpg + pose-normalized crops
+    (FaceDetectUpdated.py:934-944, face_analysis.py:983-1013)."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.io import images as im_io
+    from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
+
+    os.makedirs("saved_patches", exist_ok=True)
+    import jax.numpy as jnp
+    boxes = np.asarray([d.box for d in detections], np.float32)
+    angles = np.asarray([d.angle for d in detections], np.float32)
+    if len(boxes) == 0:
+        return
+    patches = np.asarray(extract_patches_rotate(
+        jnp.asarray(image), jnp.asarray(boxes), jnp.asarray(angles),
+        (64, 64)))
+    for j, p in enumerate(patches):
+        if save_patches:
+            im_io.save_image(f"saved_patches/patch_im{index:03d}_{j:02d}.jpg",
+                             p)
+        if save_normalized:
+            im_io.save_image(
+                f"saved_patches/normalized_im{index:03d}_{j:02d}.jpg", p)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""pfa-train: trains the full pipeline model zoo into an artifact directory.
+
+The reference has no trainer (its networks came from the external cuicuilco
+project and the pickles are not shipped; SURVEY.md section 0). This command
+trains every network/classifier of the 22-stage pipeline on procedurally
+generated faces (training.synth) -- or on a user-provided normalized dataset
+directory produced with pfa-normalize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="pfa-train",
+        description="Train the TPU face-analysis pipeline (synthetic data).")
+    p.add_argument("--out_dir", default="SavedNetworksTPU")
+    p.add_argument("--num_faces", type=int, default=150,
+                   help="faces per pose-walk dataset")
+    p.add_argument("--steps_per_face", type=int, default=40)
+    p.add_argument("--age_samples", type=int, default=4000)
+    p.add_argument("--seed", type=int, default=12345600)
+    p.add_argument("--quick", action="store_true",
+                   help="tiny sizes for smoke testing")
+    p.add_argument("--no_final_disc", action="store_true",
+                   help="share one discriminator for all Disc stages")
+    args = p.parse_args(argv)
+
+    from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
+
+    if args.quick:
+        cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
+                          disc_steps=16, eye_faces=20, eye_steps=16,
+                          age_samples=400, seed=args.seed,
+                          train_final_disc=not args.no_final_disc)
+    else:
+        cfg = TrainConfig(num_faces=args.num_faces,
+                          steps_per_face=args.steps_per_face,
+                          disc_faces=args.num_faces,
+                          disc_steps=args.steps_per_face,
+                          eye_faces=max(args.num_faces * 4 // 5, 8),
+                          eye_steps=args.steps_per_face,
+                          age_samples=args.age_samples, seed=args.seed,
+                          train_final_disc=not args.no_final_disc)
+    t0 = time.time()
+    train_pipeline(args.out_dir, cfg)
+    print(f"training finished in {time.time() - t0:.1f}s -> {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

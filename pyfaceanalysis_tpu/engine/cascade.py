@@ -1,0 +1,231 @@
+"""The masked, fixed-shape detection cascade -- the framework's hot path.
+
+Reference behavior: the per-image loop of FaceDetectUpdated.py:513-1280 runs,
+for each scale, 17 cascade stages that extract patches, execute a HiGSFA
+flow, regress with a Gaussian classifier, move boxes, and COMPACT the patch
+arrays after every stage (dynamic shapes). TPU re-design:
+
+- ALL scales are concatenated into ONE patch batch (the reference itself
+  notes "actually all resolutions could be processed also at once",
+  FaceDetectUpdated.py:600); per-scale constants (acceptance radii, base
+  side) become per-patch arrays.
+- "Discard" is a mask update -- shapes never change inside the jitted
+  function; the batch is padded to a bucket size so XLA compiles a handful
+  of shapes total.
+- The stage schedule (which stages extract patches / execute networks /
+  reuse features) is reconstructed from the pipeline exactly like the
+  reference (skip extraction if the previous stage was Disc; skip execution
+  for ``None`` networks; FaceDetectUpdated.py:676-691) and unrolled into the
+  jit -- each stage is a gather + block-diagonal GEMM stack + quadratic-form
+  regression, all MXU work.
+
+Stage semantics (exact ports):
+- update rules:    face_analysis.py:803-840 (PosX/PosY shift by
+                   -reg*extent/regression; PAng adds; Scale rescales about
+                   the center to desired_sampling 0.825)
+- discard rules:   face_analysis.py:842-887 (per-type drift/cutoff tests
+                   against the ORIGINAL grid box)
+- Disc confidence: reg_out is "non-faceness" in [0,1]; patches with
+                   reg >= cut_offs_face[serial] are discarded
+                   (FaceDetectUpdated.py:669-672, :98)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfaceanalysis_tpu.config import DESIRED_SAMPLING, DetectorConfig, NetGeometry
+from pyfaceanalysis_tpu.io.pipeline import PipelineSpec
+from pyfaceanalysis_tpu.models.network import apply_network
+from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
+
+
+class StagePlan(NamedTuple):
+    """Static per-stage schedule entry (hashable: drives jit tracing)."""
+
+    kind: str           # Disc | PosX | PosY | PAng | Scale
+    serial: int         # cut-off / interpolation index
+    extract: bool       # extract patches at current boxes/angles?
+    net_idx: int        # index into the network param list (-1 = reuse sl)
+    clf_idx: int        # index into the classifier list
+    input_dim: int      # feature truncation width for the classifier
+
+
+def build_detection_plan(spec: PipelineSpec,
+                         net_ids: Dict[str, int],
+                         clf_input_dims: Sequence[int]) -> Tuple[StagePlan, ...]:
+    """Reconstructs the extraction/execution schedule of the reference loop.
+
+    ``net_ids`` maps network artifact names to indices in the model's network
+    list; "None*" names reuse the previous stage's features.
+    """
+    plan: List[StagePlan] = []
+    prev_kind = None
+    for i, st in enumerate(spec.detection_stages):
+        reuse_net = st.reuses_features
+        extract = (i == 0) or (prev_kind != "Disc" and not reuse_net)
+        plan.append(StagePlan(
+            kind=st.kind, serial=st.serial, extract=extract,
+            net_idx=-1 if reuse_net else net_ids[st.network_name],
+            clf_idx=i, input_dim=int(clf_input_dims[i])))
+        prev_kind = st.kind
+    return tuple(plan)
+
+
+class CascadeState(NamedTuple):
+    """Per-patch cascade state (all (B,) or (B, 4); fixed shapes)."""
+
+    boxes: jax.Array        # [x0, y0, x1, y1] inclusive
+    angles: jax.Array       # degrees
+    mask: jax.Array         # bool: still alive
+    conf: jax.Array         # last Disc output ("non-faceness")
+    orig_cx: jax.Array      # original grid box center (drift reference)
+    orig_cy: jax.Array
+    max_dx: jax.Array       # acceptance radii (per scale -> per patch)
+    max_dy: jax.Array
+    base_side: jax.Array    # original box diagonal
+
+
+@partial(jax.jit, static_argnames=("plan", "specs_tuple", "geom", "cfg",
+                                   "patch_hw"))
+def run_cascade(plan: Tuple[StagePlan, ...],
+                specs_tuple,                 # tuple of per-network spec tuples
+                geom: NetGeometry,
+                cfg: DetectorConfig,
+                patch_hw: Tuple[int, int],
+                image: jax.Array,
+                net_params,                  # tuple of per-network param lists
+                clf_params,                  # tuple of GaussianRegressor
+                state: CascadeState) -> CascadeState:
+    """Runs all detection stages on one padded patch batch. One jit per
+    (plan, bucket, image shape)."""
+    cut_offs = cfg.resolved_cut_offs()
+    min_scale_radio = geom.mins / DESIRED_SAMPLING
+    max_scale_radio = geom.maxs / DESIRED_SAMPLING
+
+    boxes, angles, mask = state.boxes, state.angles, state.mask
+    conf = state.conf
+    patches = None
+    sl = None
+
+    for st in plan:
+        if st.extract:
+            interp = cfg.interpolation_formats[st.serial]
+            patches = extract_patches_rotate(image, boxes, angles, patch_hw,
+                                             method=interp)
+            patches = patches.reshape(patches.shape[0], -1)
+        if st.net_idx >= 0:
+            sl = apply_network(specs_tuple[st.net_idx],
+                               net_params[st.net_idx], patches)
+        clf = clf_params[st.clf_idx]
+        reg = clf.regression(sl[:, :st.input_dim])
+
+        if st.kind == "Disc":
+            conf = jnp.where(mask, reg, conf)
+            mask = mask & (reg < cut_offs[st.serial])
+        elif st.kind == "PosX":
+            width = boxes[:, 2] - boxes[:, 0]
+            shift = reg * width / geom.regression_width
+            boxes = boxes.at[:, 0].add(-shift).at[:, 2].add(-shift)
+            drift = (boxes[:, 0] + boxes[:, 2]) / 2.0 - state.orig_cx
+            mask = mask & (jnp.abs(drift) <=
+                           state.max_dx * cfg.tolerance_posxy_deviation)
+        elif st.kind == "PosY":
+            height = boxes[:, 3] - boxes[:, 1]
+            shift = reg * height / geom.regression_height
+            boxes = boxes.at[:, 1].add(-shift).at[:, 3].add(-shift)
+            drift = (boxes[:, 1] + boxes[:, 3]) / 2.0 - state.orig_cy
+            mask = mask & (jnp.abs(drift) <=
+                           state.max_dy * cfg.tolerance_posxy_deviation)
+        elif st.kind == "PAng":
+            angles = angles + reg
+            mask = mask & (jnp.abs(angles) <=
+                           geom.Dang * cfg.tolerance_angle_deviation)
+        elif st.kind == "Scale":
+            w = boxes[:, 2] - boxes[:, 0]
+            h = boxes[:, 3] - boxes[:, 1]
+            cx = (boxes[:, 2] + boxes[:, 0]) / 2.0
+            cy = (boxes[:, 3] + boxes[:, 1]) / 2.0
+            safe = jnp.where(jnp.abs(reg) > 1e-6, reg, 1.0)
+            nw = w / safe * DESIRED_SAMPLING
+            nh = h / safe * DESIRED_SAMPLING
+            boxes = jnp.stack([cx - nw / 2, cy - nh / 2,
+                               cx + nw / 2, cy + nh / 2], axis=1)
+            side = jnp.sqrt(nw ** 2 + nh ** 2)
+            ratio = side / state.base_side
+            mask = mask & (ratio <= max_scale_radio *
+                           cfg.tolerance_scale_deviation)
+            mask = mask & (ratio >= min_scale_radio /
+                           cfg.tolerance_scale_deviation)
+        else:
+            raise ValueError(f"unknown stage kind {st.kind}")
+
+    return CascadeState(boxes, angles, mask, conf, state.orig_cx,
+                        state.orig_cy, state.max_dx, state.max_dy,
+                        state.base_side)
+
+
+def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
+                    cfg: DetectorConfig,
+                    track: Optional[Tuple] = None
+                    ) -> Tuple[CascadeState, int]:
+    """Builds the concatenated all-scales grid, padded to the smallest
+    configured bucket size (so XLA compiles a handful of batch shapes).
+
+    Returns (state, n_real). Mirrors the per-scale loop prologue
+    (FaceDetectUpdated.py:592-624) with per-scale constants broadcast to
+    per-patch arrays.
+    """
+    from pyfaceanalysis_tpu.config import bucket_size
+    from pyfaceanalysis_tpu.engine import grid as gridmod
+
+    face_found = track is not None
+    samplings = gridmod.compute_sampling_values(
+        im_width, im_height, geom, cfg.smallest_face,
+        cfg.patch_overlap_sampling, cfg.adaptive_grid_scale,
+        cfg.track_single_face, face_found, track)
+
+    all_boxes, all_mdx, all_mdy, all_base = [], [], [], []
+    for s in samplings:
+        posX, posY, pw, ph, mdx, mdy = gridmod.compute_posX_posY_values(
+            im_width, im_height, geom, s, cfg.patch_overlap_posx_posy,
+            cfg.track_single_face, face_found, track)
+        boxes = gridmod.compute_subimage_coordinates(posX, posY, pw, ph)
+        n = len(boxes)
+        all_boxes.append(boxes)
+        all_mdx.append(np.full(n, mdx))
+        all_mdy.append(np.full(n, mdy))
+        all_base.append(np.full(n, np.sqrt(pw ** 2 + ph ** 2)))
+
+    boxes = np.concatenate(all_boxes, axis=0) if all_boxes else np.zeros((0, 4))
+    n_real = len(boxes)
+    total = bucket_size(max(n_real, 1), cfg.bucket_sizes)
+
+    def padded(a, fill=0.0):
+        out = np.full((total,) + a.shape[1:], fill, a.dtype)
+        out[:n_real] = a
+        return out
+
+    boxes_p = padded(boxes.astype(np.float32), fill=1.0)
+    state = CascadeState(
+        boxes=jnp.asarray(boxes_p),
+        angles=jnp.zeros(total, jnp.float32),
+        mask=jnp.asarray(np.arange(total) < n_real),
+        conf=jnp.ones(total, jnp.float32),
+        orig_cx=jnp.asarray((boxes_p[:, 0] + boxes_p[:, 2]) / 2.0),
+        orig_cy=jnp.asarray((boxes_p[:, 1] + boxes_p[:, 3]) / 2.0),
+        max_dx=jnp.asarray(padded(np.concatenate(all_mdx).astype(np.float32))
+                           if all_mdx else np.zeros(total, np.float32)),
+        max_dy=jnp.asarray(padded(np.concatenate(all_mdy).astype(np.float32))
+                           if all_mdy else np.zeros(total, np.float32)),
+        base_side=jnp.asarray(padded(
+            np.concatenate(all_base).astype(np.float32), fill=1.0)
+            if all_base else np.ones(total, np.float32)),
+    )
+    return state, n_real

@@ -1,0 +1,274 @@
+"""FaceDetector: the top-level per-image driver.
+
+Orchestrates the full reference pipeline (FaceDetectUpdated.py:513-1280) on
+device: prescale -> all-scales grid -> masked cascade (engine.cascade) ->
+approximate eye boxes -> eye localization (engine.eyes) -> NMS purge
+(engine.nms) -> age/race/gender heads (engine.heads).
+
+Host/device split: grid construction, NMS and bookkeeping are host numpy
+(tiny); everything per-patch runs in three jitted programs (cascade, eyes,
+heads), compiled once per bucket shape. Images are padded into a fixed
+(prescale_size + pad) canvas so a single compile serves every input size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfaceanalysis_tpu import geometry
+from pyfaceanalysis_tpu.config import DESIRED_SAMPLING, DetectorConfig, EYE_SAMPLING
+from pyfaceanalysis_tpu.engine import cascade as cascade_mod
+from pyfaceanalysis_tpu.engine import eyes as eyes_mod
+from pyfaceanalysis_tpu.engine import heads as heads_mod
+from pyfaceanalysis_tpu.engine import nms as nms_mod
+from pyfaceanalysis_tpu.io import artifacts
+from pyfaceanalysis_tpu.io.pipeline import PipelineSpec, parse_pipeline
+from pyfaceanalysis_tpu.models.network import HierarchicalNetwork
+from pyfaceanalysis_tpu.ops.gaussian import GaussianRegressor
+
+
+@dataclasses.dataclass
+class Detection:
+    """One detected face (coordinates in the detection frame -- the
+    prescaled image, matching the reference's output quirk: results are
+    written without undoing the prescale, FaceDetectUpdated.py:1258-1278)."""
+
+    box: Tuple[float, float, float, float]
+    angle: float
+    eye_left: Tuple[float, float]
+    eye_right: Tuple[float, float]
+    confidence: float
+    age: Optional[float] = None
+    age_std: Optional[float] = None
+    race_value: Optional[float] = None
+    gender_value: Optional[float] = None
+
+    @property
+    def race(self) -> Optional[str]:
+        if self.race_value is None:
+            return None
+        return heads_mod.race_strings([self.race_value])[0]
+
+    @property
+    def gender(self) -> Optional[str]:
+        if self.gender_value is None:
+            return None
+        return heads_mod.gender_strings([self.gender_value])[0]
+
+
+class DetectionModel:
+    """Loaded pipeline artifacts: networks, classifiers, stage plan."""
+
+    def __init__(self, spec: PipelineSpec,
+                 nets: Dict[str, HierarchicalNetwork],
+                 classifiers: List[GaussianRegressor]):
+        self.spec = spec
+        self.nets = nets
+        self.classifiers = classifiers          # one per stage
+        det_stages = spec.detection_stages
+        # Unique detection networks in first-use order.
+        names = []
+        for st in det_stages:
+            if not st.reuses_features and st.network_name not in names:
+                names.append(st.network_name)
+        self.det_net_names = names
+        net_ids = {n: i for i, n in enumerate(names)}
+        input_dims = [classifiers[i].input_dim for i in range(len(det_stages))]
+        self.plan = cascade_mod.build_detection_plan(spec, net_ids, input_dims)
+        self.det_specs = tuple(nets[n].specs for n in names)
+        self.det_params = tuple(tuple(nets[n].params) for n in names)
+        self.det_clfs = tuple(classifiers[: len(det_stages)])
+
+    def stage(self, raw_type: str) -> int:
+        return self.spec.stage_index(raw_type)
+
+    def classifier(self, raw_type: str) -> GaussianRegressor:
+        return self.classifiers[self.stage(raw_type)]
+
+    def clf_input_dim(self, raw_type: str) -> int:
+        return self.classifier(raw_type).input_dim
+
+    def network_for(self, raw_type: str) -> HierarchicalNetwork:
+        st = self.spec.stages[self.stage(raw_type)]
+        name = st.network_name
+        if name.startswith("None"):
+            raise KeyError(f"stage {raw_type} reuses features")
+        return self.nets[name]
+
+    @staticmethod
+    def load(artifact_dir: str, pipeline_file: Optional[str] = None
+             ) -> "DetectionModel":
+        pipeline_file = pipeline_file or os.path.join(artifact_dir,
+                                                      "Pipeline_tpu.txt")
+        spec = parse_pipeline(pipeline_file)
+        nets: Dict[str, HierarchicalNetwork] = {}
+        classifiers: List[GaussianRegressor] = []
+        for st in spec.stages:
+            if not st.reuses_features and st.network_name not in nets:
+                nets[st.network_name] = artifacts.load_network(
+                    os.path.join(artifact_dir, st.network_name + ".npz"))
+            classifiers.append(artifacts.load_classifier(
+                os.path.join(artifact_dir, st.classifier_name + ".npz")))
+        # Convenience aliases used by the heads/eyes paths.
+        model = DetectionModel(spec, nets, classifiers)
+        model.nets.setdefault(
+            "net_age", nets[spec.stages[model.stage("Age")].network_name])
+        model.nets.setdefault(
+            "net_eye", nets[spec.stages[model.stage("EyeLX")].network_name])
+        return model
+
+
+class FaceDetector:
+    """End-to-end detector with the reference's public behavior."""
+
+    def __init__(self, model: DetectionModel,
+                 config: DetectorConfig = DetectorConfig()):
+        self.model = model
+        self.config = config
+        self.face_has_been_found = False
+        self.tracked_face: Optional[Tuple] = None
+        # Fixed device canvas: one compile serves all image sizes.
+        side = config.prescale_size if config.image_prescaling else 2048
+        self._canvas_hw = (side, side)
+
+    # -- image preparation ---------------------------------------------------
+
+    def prescale_factor(self, w: int, h: int) -> float:
+        """Reference prescaling: max side <= prescale_size
+        (FaceDetectUpdated.py:551-562)."""
+        if not self.config.image_prescaling:
+            return 1.0
+        m = max(w, h)
+        return min(1.0, self.config.prescale_size / float(m))
+
+    def _to_canvas(self, image: np.ndarray) -> jax.Array:
+        H, W = self._canvas_hw
+        canvas = np.zeros((H, W), np.float32)
+        h = min(image.shape[0], H)
+        w = min(image.shape[1], W)
+        canvas[:h, :w] = np.asarray(image, np.float32)[:h, :w]
+        return jnp.asarray(canvas)
+
+    # -- main entry -----------------------------------------------------------
+
+    def detect(self, image: np.ndarray, estimate_attributes: bool = True
+               ) -> List[Detection]:
+        """Detects faces in a grayscale image (H, W) with values in [0, 1].
+
+        The image must already be prescaled (use io.images.load_image which
+        applies the reference prescaling); coordinates are returned in this
+        frame.
+        """
+        cfg = self.config
+        model = self.model
+        im_h, im_w = image.shape
+        geom = model.spec.face_geom
+        device_image = self._to_canvas(image)
+
+        track = self.tracked_face if (cfg.track_single_face and
+                                      self.face_has_been_found) else None
+        state, n_real = cascade_mod.make_grid_state(im_w, im_h, geom, cfg,
+                                                    track)
+        self.windows_scanned = n_real
+        if n_real == 0:
+            return []
+
+        out = cascade_mod.run_cascade(
+            model.plan, model.det_specs, geom, cfg,
+            (geom.subimage_height, geom.subimage_width),
+            device_image, model.det_params, model.det_clfs, state)
+
+        mask = np.asarray(out.mask)
+        boxes = np.asarray(out.boxes)[mask]
+        angles = np.asarray(out.angles)[mask]
+        confs = np.asarray(out.conf)[mask]
+        if len(boxes) == 0:
+            self._update_tracking(np.zeros((0, 10)))
+            return []
+
+        rows = self._localize_eyes(device_image, boxes, angles, confs)
+        if len(rows) == 0:
+            self._update_tracking(rows)
+            return []
+
+        purged = nms_mod.purge_detections(rows, cfg.purge_threshold)
+        self._update_tracking(purged)
+
+        det_list: List[Detection] = []
+        ages = stds = races = genders = None
+        if estimate_attributes and (cfg.estimate_age or cfg.estimate_race or
+                                    cfg.estimate_gender):
+            ages, stds, races, genders = heads_mod.estimate_age_race_gender(
+                device_image, purged, model)
+        for j, r in enumerate(purged):
+            det_list.append(Detection(
+                box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
+                eye_left=(float(r[5]), float(r[6])),
+                eye_right=(float(r[7]), float(r[8])),
+                confidence=float(r[9]),
+                age=None if ages is None else float(ages[j]),
+                age_std=None if stds is None else float(stds[j]),
+                race_value=None if races is None else float(races[j]),
+                gender_value=None if genders is None else float(genders[j])))
+        return det_list
+
+    # -- eye localization ------------------------------------------------------
+
+    def _localize_eyes(self, device_image, boxes, angles, confs) -> np.ndarray:
+        """Approximate eye boxes -> EyeLX/EyeLY refinement -> (N, 10) rows.
+
+        Both eyes are batched through one network execution (left-eye path
+        for both; the reference's right-eye mirroring is disabled,
+        face_analysis.py:1024-1031)."""
+        cfg = self.config
+        model = self.model
+        n = len(boxes)
+        _, l_boxes, r_boxes = geometry.compute_approximate_eye_boxes_coordinates(
+            jnp.asarray(boxes), jnp.asarray(angles),
+            face_sampling=DESIRED_SAMPLING, eye_sampling=EYE_SAMPLING)
+        eye_boxes = np.concatenate([np.asarray(l_boxes), np.asarray(r_boxes)])
+        both_angles = np.concatenate([angles, angles])
+
+        bucket = max(8, 1 << (2 * n - 1).bit_length())
+        pad = bucket - 2 * n
+        eye_boxes = np.pad(eye_boxes.astype(np.float32),
+                           ((0, pad), (0, 0)), constant_values=1.0)
+        both_angles = np.pad(both_angles.astype(np.float32), (0, pad))
+
+        eye_net = model.nets["net_eye"]
+        eg = model.spec.eye_geom
+        new_boxes, too_far = eyes_mod.localize_eyes(
+            eye_net.specs, model.clf_input_dim("EyeLX"),
+            model.clf_input_dim("EyeLY"),
+            (eg.subimage_height, eg.subimage_width),
+            cfg.tolerance_xy_eye,
+            device_image, tuple(eye_net.params),
+            model.classifier("EyeLX"), model.classifier("EyeLY"),
+            jnp.asarray(eye_boxes), jnp.asarray(both_angles))
+        new_boxes = np.asarray(new_boxes)
+        too_far = np.asarray(too_far)
+
+        l_new, r_new = new_boxes[:n], new_boxes[n:2 * n]
+        bad = too_far[:n] | too_far[n:2 * n]
+        l_c = (l_new[:, 0:2] + l_new[:, 2:4]) / 2.0
+        r_c = (r_new[:, 0:2] + r_new[:, 2:4]) / 2.0
+        keep = ~bad
+        rows = np.concatenate([
+            boxes[keep], angles[keep, None], l_c[keep], r_c[keep],
+            confs[keep, None]], axis=1)
+        return rows
+
+    def _update_tracking(self, purged: np.ndarray) -> None:
+        if not self.config.track_single_face:
+            return
+        if len(purged) > 0:
+            self.tracked_face = tuple(purged[0][0:4])
+            self.face_has_been_found = True
+        else:
+            self.face_has_been_found = False

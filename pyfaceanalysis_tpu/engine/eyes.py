@@ -1,0 +1,70 @@
+"""Eye localization sub-cascade.
+
+Reference: ``find_Left_Right_eyes`` (face_analysis.py:1036-1109). Per
+surviving face box: approximate eye boxes from the face geometry, extract
+contrast-enhanced 64x64 eye patches, run the EyeLX / EyeLY networks, and
+shift the eye boxes by the (rotation-corrected) regression output; flag
+faces whose raw |reg| >= 9.0 as "too far" (discarded by the driver,
+FaceDetectUpdated.py:1014-1019).
+
+Notes reproduced from the reference:
+- BOTH eyes run the left-eye path: the horizontal mirroring in
+  ``find_Right_eyes`` is effectively disabled (the swapped box is discarded;
+  face_analysis.py:1024-1031), so we batch L and R together (2N patches, one
+  network execution -- the reference executes the same flow twice).
+- EyeLX and EyeLY name the SAME network artifact in the pipeline; features
+  are computed once and fed to both classifiers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pyfaceanalysis_tpu.config import EYE_SAMPLING, DetectorConfig
+from pyfaceanalysis_tpu.models.network import apply_network
+from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
+from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
+
+
+@partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw",
+                                   "tolerance"))
+def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
+                  tolerance: float,
+                  image: jax.Array, net_params, clf_x, clf_y,
+                  eye_boxes: jax.Array, angles: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """One batched eye-localization pass.
+
+    Args:
+        eye_boxes: (B, 4) approximate eye boxes (either eye; L/R batched).
+        angles: (B,) face angles in degrees.
+
+    Returns:
+        (new_boxes (B, 4), too_far (B,) bool).
+    """
+    h, w = patch_hw
+    patches = extract_patches_rotate(image, eye_boxes, angles, patch_hw,
+                                     method="bilinear")
+    flat = patches.reshape(patches.shape[0], -1)
+    flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
+    sl = apply_network(specs, net_params, flat)
+    reg_x = clf_x.regression(sl[:, :dim_x])
+    reg_y = clf_y.regression(sl[:, :dim_y])
+    too_far = (jnp.abs(reg_x) >= tolerance) | (jnp.abs(reg_y) >= tolerance)
+
+    box_w = jnp.abs(eye_boxes[:, 2] - eye_boxes[:, 0])
+    box_h = jnp.abs(eye_boxes[:, 3] - eye_boxes[:, 1])
+    off_x = (reg_x / EYE_SAMPLING) * box_w / w
+    off_y = (reg_y / EYE_SAMPLING) * box_h / h
+    # Rotate the patch-frame offset into the image frame
+    # (face_analysis.py:1096-1104 with factor = 1).
+    rad = -jnp.deg2rad(angles)
+    dx = off_x * jnp.cos(rad) - off_y * jnp.sin(rad)
+    dy = off_y * jnp.cos(rad) + off_x * jnp.sin(rad)
+    new_boxes = jnp.stack([eye_boxes[:, 0] - dx, eye_boxes[:, 1] - dy,
+                           eye_boxes[:, 2] - dx, eye_boxes[:, 3] - dy], axis=1)
+    return new_boxes, too_far

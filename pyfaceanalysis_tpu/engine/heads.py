@@ -1,0 +1,123 @@
+"""Age / race / gender estimation heads.
+
+Reference: ``estimate_age_race_gender`` (face_analysis.py:1170-1306). Per
+detected face (post-purge): normalize to the (256, 260) "Z" frame from the
+localized eyes (method eyes_inferred-mouth_areaZ, centering
+mid_eyes_inferred-mouth, EyeLineRotation), extract a 96x96 patch (sampling
+1.14 * 160/96, ty = -6/(160/96), contrast "AgeContrastEnhancement_Avg_Std"
+obj_std 0.16), run the linear-PCA network once, and feed the SAME features
+to three Gaussian regressors: Age (estimate_std=True), Race, Gender.
+
+TPU re-design: the reference loops faces one at a time with a PIL warp chain
+each; here all faces are batched -- one (N, 260, 256) gather, one (N, 9216)
+patch batch, one network execution. Label->string maps per
+face_analysis.py:333-371.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfaceanalysis_tpu import normalization
+from pyfaceanalysis_tpu.models.network import apply_network
+from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
+from pyfaceanalysis_tpu.ops.patches import extract_centered_patch
+from pyfaceanalysis_tpu.training.datasets import (
+    AGE_SAMPLING,
+    Z_SIZE,
+    age_patch_constants,
+)
+
+
+@partial(jax.jit, static_argnames=("specs", "dims"))
+def _arg_forward(specs, dims: Tuple[int, int, int],
+                 image: jax.Array, net_params, clf_age, clf_race, clf_gender,
+                 centers: jax.Array, angles: jax.Array, sfs: jax.Array):
+    """Batched Z-frame normalization + patch + features + three regressions.
+
+    centers: (N, 2), angles: (N,) deg, sfs: (N,) source px per Z px.
+    """
+    zh, zw = Z_SIZE
+    fr, fc, tx, ty = age_patch_constants()
+
+    def one_face(center, angle, sf):
+        # Traced-parameter version of normalization.sample_frame (which takes
+        # a static FrameParams dataclass).
+        X = jnp.arange(zw, dtype=jnp.float32) - (zw - 1) / 2.0
+        Y = jnp.arange(zh, dtype=jnp.float32) - (zh - 1) / 2.0
+        u = X[None, :] * sf
+        v = Y[:, None] * sf
+        rad = jnp.deg2rad(angle)
+        c, s = jnp.cos(rad), jnp.sin(rad)
+        sx = center[0] + c * u - s * v
+        sy = center[1] + s * u + c * v
+        z = normalization._bilinear_gather(image, sx, sy)
+        patch = extract_centered_patch(z, AGE_SAMPLING, fr, fc, tx, ty,
+                                       (96, 96))
+        return patch[0]
+
+    patches = jax.vmap(one_face)(centers, angles, sfs)      # (N, 96, 96)
+    flat = contrast_enhance_patches(patches.reshape(patches.shape[0], -1),
+                                    obj_avg=0.0, obj_std=0.16)
+    sl = apply_network(specs, net_params, flat)
+    d_age, d_race, d_gender = dims
+    age, age_std = clf_age.regression(sl[:, :d_age], estimate_std=True)
+    race = clf_race.regression(sl[:, :d_race])
+    gender = clf_gender.regression(sl[:, :d_gender])
+    return age, age_std, race, gender
+
+
+def estimate_age_race_gender(image: jax.Array, rows: np.ndarray, model
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                        np.ndarray]:
+    """rows: (N, 10) purged detections. Returns (ages, age_stds, race_values,
+    gender_values) as float arrays (label values, not strings)."""
+    n = len(rows)
+    if n == 0:
+        z = np.zeros(0)
+        return z, z, z, z
+    centers, angles, sfs = [], [], []
+    for row in rows:
+        coords = [row[5], row[6], row[7], row[8], 0.0, 0.0]
+        fp = normalization.frame_params(
+            coords, normalization_method="eyes_inferred-mouth_areaZ",
+            centering_mode="mid_eyes_inferred-mouth",
+            rotation_mode="EyeLineRotation", out_size=(Z_SIZE[1], Z_SIZE[0]))
+        centers.append([fp.center_x, fp.center_y])
+        angles.append(fp.angle_deg)
+        sfs.append(fp.sf)
+    # Pad the face batch to a small bucket so recompiles are rare.
+    bucket = max(4, 1 << (n - 1).bit_length())
+    pad = bucket - n
+    centers = np.pad(np.asarray(centers, np.float32), ((0, pad), (0, 0)))
+    angles = np.pad(np.asarray(angles, np.float32), (0, pad))
+    sfs = np.pad(np.asarray(sfs, np.float32), (0, pad), constant_values=1.0)
+
+    net = model.nets["net_age"]
+    age, age_std, race, gender = _arg_forward(
+        net.specs,
+        (model.clf_input_dim("Age"), model.clf_input_dim("Race"),
+         model.clf_input_dim("Gender")),
+        image, tuple(net.params),
+        model.classifier("Age"), model.classifier("Race"),
+        model.classifier("Gender"),
+        jnp.asarray(centers), jnp.asarray(angles), jnp.asarray(sfs))
+    return (np.asarray(age)[:n], np.asarray(age_std)[:n],
+            np.asarray(race)[:n], np.asarray(gender)[:n])
+
+
+def gender_strings(values, long_text: bool = True) -> List[str]:
+    """-1 -> Male, +1 -> Female (face_analysis.py:333-351)."""
+    return [("Male" if long_text else "M") if v <= 0
+            else ("Female" if long_text else "F") for v in values]
+
+
+def race_strings(values, long_text: bool = True) -> List[str]:
+    """-2 -> Black, +2 -> White (face_analysis.py:354-371)."""
+    return [("Black" if long_text else "B") if v <= 0
+            else ("White" if long_text else "W") for v in values]

@@ -1,0 +1,90 @@
+"""Result writing, batch files and ground-truth coordinate loaders.
+
+Exact ports of the reference's text formats:
+
+- output rows (FaceDetectUpdated.py:1258-1278): append-mode,
+  ``x0, y0, x1, y1, angle, elx, ely, erx, ery[, age, race, gender, conf]``
+  with coordinates rounded to ints, angle/conf as floats, age as %2.1f;
+  ``right_screen_eye_first`` swaps the eye pair.
+- batch file (face_analysis.py:224-243): alternating input/output lines.
+- "normalization file" ground truth (face_analysis.py:246-310): filename
+  line + 6-or-8 float line -> 14-tuple including a derived face box.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def write_detections(path: str, detections,
+                     right_screen_eye_first: bool = False,
+                     write_age_race_gender_confidence: bool = True) -> None:
+    """Appends detection rows in the reference output format."""
+    with open(path, "a") as fd:
+        for d in detections:
+            ints = [int(round(v)) for v in
+                    (*d.box, *d.eye_left, *d.eye_right)]
+            x0, y0, x1, y1, elx, ely, erx, ery = ints
+            if right_screen_eye_first:
+                elx, ely, erx, ery = erx, ery, elx, ely
+            fd.write("%d, %d, %d, %d, %f, %d, %d, %d, %d"
+                     % (x0, y0, x1, y1, d.angle, elx, ely, erx, ery))
+            if write_age_race_gender_confidence and d.age is not None:
+                fd.write(", %2.1f, %s, %s, %f"
+                         % (d.age, d.race, d.gender, d.confidence))
+            fd.write(" \n")
+
+
+def read_batch_file(path: str) -> Tuple[List[str], List[str]]:
+    """Alternating image/output filename lines (face_analysis.py:224-243)."""
+    with open(path) as f:
+        lines = [ln.rstrip("\n").rstrip("\r") for ln in f]
+    image_filenames, output_filenames = [], []
+    for i in range(len(lines) // 2):
+        image_filenames.append(lines[2 * i].rstrip())
+        output_filenames.append(lines[2 * i + 1].rstrip())
+    return image_filenames, output_filenames
+
+
+def load_true_coordinates(base_dir: str, filename: str
+                          ) -> Tuple[List[str], np.ndarray]:
+    """"Normalization file" ground-truth loader (face_analysis.py:246-310).
+
+    Format: repeated [image filename line; coordinate line with 6 or 8
+    floats: eyeL xy, eyeR xy, mouth xy[, nose xy]]. Returns (filenames,
+    (N, 14) array [elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy, bx0, by0,
+    bx1, by1]) where the face box is derived from the eye-mouth geometry the
+    same way the reference does it.
+    """
+    filenames: List[str] = []
+    coords: List[List[float]] = []
+    with open(filename) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    i = 0
+    while i + 1 < len(lines):
+        fn = lines[i]
+        vals = [float(v) for v in lines[i + 1].replace(",", " ").split()]
+        i += 2
+        if len(vals) == 6:
+            elx, ely, erx, ery, mx, my = vals
+            nx = (elx + erx) / 2.0
+            ny = (ely + ery + my) / 3.0
+        elif len(vals) >= 8:
+            elx, ely, erx, ery, nx, ny, mx, my = vals[:8]
+        else:
+            continue
+        eyes_mx, eyes_my = (elx + erx) / 2.0, (ely + ery) / 2.0
+        fcx, fcy = (eyes_mx + mx) / 2.0, (eyes_my + my) / 2.0
+        dist_eyes = math.hypot(erx - elx, ery - ely)
+        # Face box spanning the canonical 128-unit frame at sampling 0.825:
+        # box side = dist_eyes * 128 * 0.825 / 37 (inverse of the eye-box
+        # geometry, face_analysis.py:24-58).
+        side = dist_eyes * 128.0 * 0.825 / 37.0
+        box = [fcx - side / 2, fcy - side / 2, fcx + side / 2, fcy + side / 2]
+        filenames.append(os.path.join(base_dir, fn) if base_dir else fn)
+        coords.append([elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy] + box)
+    return filenames, np.asarray(coords)

@@ -65,7 +65,7 @@ class GaussianRegressor(NamedTuple):
                                  jnp.asarray(avg_labels, dtype))
 
     @staticmethod
-    def fit(x, labels, avg_labels=None, reg: float = 1e-8,
+    def fit(x, labels, avg_labels=None, reg: float = 1e-3,
             dtype=jnp.float32) -> "GaussianRegressor":
         """Trains per-class Gaussians (the reference trains them via MDP's
         GaussianClassifier; cuicuilco feeds class indices with per-class mean
@@ -76,7 +76,8 @@ class GaussianRegressor(NamedTuple):
             labels: (N,) integer class indices in [0, C).
             avg_labels: (C,) regression target per class; defaults to the
                 class index as float.
-            reg: Tikhonov term added to each covariance diagonal.
+            reg: relative Tikhonov term: ``reg * mean(diag(cov))`` is added
+                to each covariance diagonal (guards small/degenerate classes).
         """
         x = np.asarray(x, np.float64)
         labels = np.asarray(labels)
@@ -84,20 +85,24 @@ class GaussianRegressor(NamedTuple):
         C, D = len(classes), x.shape[1]
         means = np.zeros((C, D))
         inv_covs = np.zeros((C, D, D))
-        sqrt_det = np.zeros(C)
+        log_sqrt_det = np.zeros(C)
         priors = np.zeros(C)
         for i, c in enumerate(classes):
             xc = x[labels == c]
             priors[i] = len(xc) / len(x)
             means[i] = xc.mean(axis=0)
             cov = np.cov(xc, rowvar=False, bias=False)
-            cov = np.atleast_2d(cov) + reg * np.eye(D)
+            cov = np.atleast_2d(cov)
+            scale = max(np.trace(cov) / D, 1e-12)
+            cov = cov + (reg * scale + 1e-12) * np.eye(D)
             inv_covs[i] = np.linalg.inv(cov)
-            sqrt_det[i] = np.sqrt(np.linalg.det(cov))
+            log_sqrt_det[i] = 0.5 * np.linalg.slogdet(cov)[1]
         if avg_labels is None:
             avg_labels = classes.astype(np.float64)
-        return GaussianRegressor.create(means, inv_covs, sqrt_det, priors,
-                                        avg_labels, dtype=dtype)
+        log_norm = jnp.asarray(np.log(priors) - log_sqrt_det, dtype)
+        return GaussianRegressor(jnp.asarray(means, dtype),
+                                 jnp.asarray(inv_covs, dtype), log_norm,
+                                 jnp.asarray(avg_labels, dtype))
 
     def log_posteriors(self, x: jax.Array) -> jax.Array:
         """(B, D) -> (B, C) unnormalized log posteriors.
@@ -112,10 +117,19 @@ class GaussianRegressor(NamedTuple):
         dA = jnp.einsum("bcd,cde->bce", diff, self.inv_covs,
                         preferred_element_type=jnp.float32)
         maha = jnp.einsum("bce,bce->bc", dA, diff)
+        # Guard float32 overflow on far-off-manifold inputs: an infinite
+        # quadratic form would make every logit -inf and the softmax NaN;
+        # clamping keeps the posterior well-defined (winner still wins).
+        maha = jnp.clip(maha, 0.0, 3.0e37)
         return self.log_norm[None, :] - 0.5 * maha
 
     def posteriors(self, x: jax.Array) -> jax.Array:
-        return jax.nn.softmax(self.log_posteriors(x), axis=-1)
+        logp = self.log_posteriors(x)
+        # Stable softmax around the per-row max; rows whose every logit
+        # underflows fall back to the winner-take-all class, never NaN.
+        logp = logp - jax.lax.stop_gradient(logp.max(axis=-1, keepdims=True))
+        p = jnp.exp(jnp.maximum(logp, -80.0))
+        return p / p.sum(axis=-1, keepdims=True)
 
     def regression(self, x: jax.Array, estimate_std: bool = False
                    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:

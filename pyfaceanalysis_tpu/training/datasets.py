@@ -1,0 +1,250 @@
+"""Dataset builders for each pipeline stage family.
+
+Each builder renders synthetic faces (training.synth) and extracts patches
+with the SAME device kernels used at inference (ops.patches), so the
+coordinate/rotation conventions are consistent end-to-end by construction.
+Label ranges replicate the reference pipeline (SURVEY.md 2.2 and
+Pipelines/Pipeline_experimental.txt):
+
+- pose iter-0:  dx +-40, dy +-20 (regression units), angle +-22.5 deg,
+                sampling 0.694..0.981
+- pose iter-1:  dx +-14, dy +-13, angle +-21, same sampling envelope
+- disc:         10 graded centering classes, avg_labels linspace(0, 1, 10)
+                (0 = centered face, 1 = background), reference cutoff ladder
+- eyes:         +-10 px labels in the 2.3719-sampled 64-unit eye frame
+- age/race/gender: 16.5-57.8 years / +-2 / +-1 on Z-frame 96x96 patches
+
+Temporal structure: pose and eye sets are generated as mean-reverting walks
+(one segment per rendered face) so plain temporal-graph SFA extracts the pose
+parameters as its slowest features.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfaceanalysis_tpu.config import DESIRED_SAMPLING, EYE_SAMPLING, NetGeometry
+from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
+from pyfaceanalysis_tpu.ops.patches import extract_centered_patch, extract_patches_rotate
+from pyfaceanalysis_tpu.training import synth
+
+CANVAS = (144, 144)
+FACE_SIZE = 56.0
+
+
+def _render_batch(key, n, with_face=True, canvas=CANVAS, face_size=FACE_SIZE):
+    keys = jax.random.split(key, n)
+    fn = jax.vmap(lambda k: synth.render_face(k, canvas_hw=canvas,
+                                              face_size=face_size,
+                                              with_face=with_face))
+    return jax.jit(fn)(keys)
+
+
+def _boxes_from_centers(cx, cy, side):
+    """Inclusive [x0, y0, x1, y1] boxes from centers and side lengths."""
+    x0 = cx - (side - 1.0) / 2.0
+    y0 = cy - (side - 1.0) / 2.0
+    return jnp.stack([x0, y0, x0 + side - 1.0, y0 + side - 1.0], axis=-1)
+
+
+_extract_batch = jax.jit(jax.vmap(
+    lambda img, boxes, angles: extract_patches_rotate(
+        img, boxes, angles, (64, 64), method="bilinear")))
+
+
+def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                 dx_range: float, dy_range: float, ang_range: float
+                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Pose-walk patches: (N, 4096) in [0,1] plus labels dx/dy/ang/scale.
+
+    N = num_faces * steps; each face contributes one temporally-smooth walk
+    segment over (dx, dy, angle, sampling).
+    """
+    k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
+    imgs, attrs = _render_batch(k_face, num_faces)
+    F = attrs["face_size"]                                       # (M,)
+    fc_x = (attrs["eye_l"][:, 0] + attrs["mouth"][:, 0] * 0.0
+            + attrs["eye_r"][:, 0]) / 2.0
+    fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
+            + attrs["mouth"][:, 1]) / 2.0
+
+    def walks(k, lo, hi):
+        ks = jax.random.split(k, num_faces)
+        return jax.vmap(lambda kk: synth.ou_walk(kk, steps, lo, hi))(ks)
+
+    dx = walks(k_dx, -dx_range, dx_range)                        # (M, T) units
+    dy = walks(k_dy, -dy_range, dy_range)
+    ang = walks(k_ang, -ang_range, ang_range)
+    smp = walks(k_s, geom.mins, geom.maxs)
+
+    b = DESIRED_SAMPLING * F[:, None] / smp                      # box side px
+    cx = fc_x[:, None] + dx * b / geom.regression_width
+    cy = fc_y[:, None] + dy * b / geom.regression_height
+    boxes = _boxes_from_centers(cx, cy, b)                       # (M, T, 4)
+    patches = _extract_batch(imgs, boxes, -ang)                  # (M,T,64,64)
+
+    N = num_faces * steps
+    labels = {
+        "dx": np.asarray(dx).reshape(N),
+        "dy": np.asarray(dy).reshape(N),
+        "ang": np.asarray(ang).reshape(N),
+        "scale": np.asarray(smp).reshape(N),
+    }
+    return np.asarray(patches).reshape(N, -1), labels
+
+
+def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                 num_classes: int = 10
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Graded face-centering patches.
+
+    Classes 0..num_classes-2 have perturbation magnitudes growing linearly
+    (class 0 = centered); the last class is pure background. Returns
+    (patches (N, 4096), class_ids (N,), avg_labels (C,) = linspace(0, 1, C)).
+    """
+    k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
+    imgs, attrs = _render_batch(k_face, num_faces)
+    F = attrs["face_size"]
+    fc_x = (attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+    fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
+            + attrs["mouth"][:, 1]) / 2.0
+
+    M, T = num_faces, steps
+    cls = jax.random.randint(k_cls, (M, T), 0, num_classes - 1)   # 0..C-2
+    frac = (cls + jax.random.uniform(k_mag, (M, T))) / (num_classes - 1)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    d = jax.random.uniform(k_dir, (4, M, T), minval=-1.0, maxval=1.0)
+    # Perturbation budget beyond the pose envelope (FaceCentering2 used
+    # Dx 48 / Dy 24 -- wider than the refinement nets).
+    dx = 48.0 * frac * jnp.sign(d[0]) * (0.35 + 0.65 * jnp.abs(d[0]))
+    dy = 24.0 * frac * jnp.sign(d[1]) * (0.35 + 0.65 * jnp.abs(d[1]))
+    ang = 27.0 * frac * d[2]
+    log_span = jnp.log(geom.maxs / geom.mins) * 0.75
+    smp = DESIRED_SAMPLING * jnp.exp(log_span * frac * jnp.sign(d[3])
+                                     * (0.3 + 0.7 * jnp.abs(d[3])))
+
+    b = DESIRED_SAMPLING * F[:, None] / smp
+    cx = fc_x[:, None] + dx * b / geom.regression_width
+    cy = fc_y[:, None] + dy * b / geom.regression_height
+    boxes = _boxes_from_centers(cx, cy, b)
+    patches = jnp.reshape(_extract_batch(imgs, boxes, -ang), (M * T, -1))
+    cls = np.asarray(cls).reshape(-1)
+
+    # Background class: patches from face-free canvases at random scales.
+    n_bg = M * T // (num_classes - 1) + 1
+    bg_imgs, _ = _render_batch(k_bg, max(n_bg // 8, 1), with_face=False)
+    kb1, kb2, kb3 = jax.random.split(k_bg, 3)
+    nb = bg_imgs.shape[0]
+    per = -(-n_bg // nb)
+    side = jax.random.uniform(kb1, (nb, per), minval=24.0, maxval=100.0)
+    bcx = jax.random.uniform(kb2, (nb, per), minval=40.0, maxval=CANVAS[1] - 40.0)
+    bcy = jax.random.uniform(kb3, (nb, per), minval=40.0, maxval=CANVAS[0] - 40.0)
+    bg_boxes = _boxes_from_centers(bcx, bcy, side)
+    bg_patches = jnp.reshape(
+        _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))), (nb * per, -1))
+
+    all_patches = np.concatenate([np.asarray(patches),
+                                  np.asarray(bg_patches)], axis=0)
+    all_cls = np.concatenate([cls,
+                              np.full(nb * per, num_classes - 1, np.int64)])
+    avg_labels = np.linspace(0.0, 1.0, num_classes)
+    return all_patches, all_cls, avg_labels
+
+
+def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
+                ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Eye-localization patches: 64x64 crops of eye boxes with the eye
+    offset walking within +-10 label units.
+
+    Label convention (must invert engine.eyes apply): reg = 10 units
+    corresponds to an image offset of (10 / 2.3719) * box_w / 64 px; the
+    label measures (box_center - eye) rotated into the patch frame.
+    """
+    k_face, k_dx, k_dy, k_ang, k_w, k_lr = jax.random.split(key, 6)
+    imgs, attrs = _render_batch(k_face, num_faces)
+    F = attrs["face_size"]
+    M, T = num_faces, steps
+
+    # Nominal eye-box width from the detection geometry: for box side b = F,
+    # box_w = F / (64 * 2 * 0.825) * (64 * 2.3719 / 2) (face_analysis.py:106).
+    box_w = F / (2 * DESIRED_SAMPLING) * (EYE_SAMPLING / 2.0)
+    box_w = box_w[:, None] * (1.0 + 0.08 * jax.random.normal(k_w, (M, 1)))
+
+    # Pick left or right eye per face (both trained identically; the
+    # reference's right-eye mirroring is disabled, face_analysis.py:1024-1031).
+    use_left = jax.random.bernoulli(k_lr, shape=(M,))
+    eye = jnp.where(use_left[:, None], attrs["eye_l"], attrs["eye_r"])
+
+    def walks(k):
+        ks = jax.random.split(k, M)
+        return jax.vmap(lambda kk: synth.ou_walk(kk, T, -10.0, 10.0))(ks)
+
+    lab_x = walks(k_dx)                                    # label units
+    lab_y = walks(k_dy)
+    ks_a = jax.random.split(k_ang, M)
+    ang = jax.vmap(lambda kk: synth.ou_walk(kk, T, -8.0, 8.0))(ks_a)
+
+    # box_center = eye + R(-ang) . (label/2.3719) * box_w / 64   (patch frame
+    # -> image frame; engine.eyes applies the inverse).
+    off_x = lab_x / EYE_SAMPLING * box_w / 64.0
+    off_y = lab_y / EYE_SAMPLING * box_w / 64.0
+    rad = jnp.deg2rad(-ang)
+    cxo = jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
+    cyo = jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
+    cx = eye[:, 0:1] + cxo
+    cy = eye[:, 1:2] + cyo
+    boxes = _boxes_from_centers(cx, cy, box_w * jnp.ones_like(cx))
+    patches = _extract_batch(imgs, boxes, -ang)            # (M, T, 64, 64)
+    flat = jnp.reshape(patches, (M * T, -1))
+    flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
+
+    labels = {"x": np.asarray(lab_x).reshape(-1),
+              "y": np.asarray(lab_y).reshape(-1)}
+    return np.asarray(flat), labels
+
+
+# --- Z-frame (age/race/gender) constants, from estimate_age_race_gender
+# (face_analysis.py:1180-1199): out (256, 260), sampling 1.14 * 160/96,
+# translation ty = -6 / (160/96) sampled units.
+Z_SIZE = (260, 256)                  # (H, W)
+Z_FACE_SIZE = 75.0 / (2 * synth.EYE_X)   # inter-eye 75 px in the Z frame
+AGE_SAMPLING = 1.14 * 160.0 / 96
+AGE_TY = -6.0 / (160.0 / 96)
+
+
+def age_patch_constants(subimage_hw=(96, 96)):
+    """first_row/first_col/tx/ty for the Z-frame 96x96 extraction."""
+    h, w = subimage_hw
+    first_row = Z_SIZE[0] / 2.0 - h * AGE_SAMPLING / 2.0
+    first_col = Z_SIZE[1] / 2.0 - w * AGE_SAMPLING / 2.0
+    return first_row, first_col, 0.0, AGE_TY
+
+
+def age_dataset(key, n: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels."""
+    k_face, k_j = jax.random.split(key)
+    cx = Z_SIZE[1] / 2.0 - 0.5
+    cy = Z_SIZE[0] / 2.0 - 0.5
+    jit_xy = jax.random.normal(k_j, (n, 3))
+
+    def one(k, jxy):
+        img, attrs = synth.render_face(
+            k, canvas_hw=Z_SIZE, face_size=Z_FACE_SIZE * (1 + 0.03 * jxy[2]),
+            center=(cx + 1.5 * jxy[0], cy + 1.5 * jxy[1]))
+        fr, fc, tx, ty = age_patch_constants()
+        patch = extract_centered_patch(img, AGE_SAMPLING, fr, fc, tx, ty,
+                                       (96, 96))
+        return patch[0], attrs
+
+    keys = jax.random.split(k_face, n)
+    patches, attrs = jax.jit(jax.vmap(one))(keys, jit_xy)
+    flat = contrast_enhance_patches(
+        jnp.reshape(patches, (n, -1)), obj_avg=0.0, obj_std=0.16)
+    labels = {"age": np.asarray(attrs["age"]),
+              "race": np.asarray(attrs["race"]),
+              "gender": np.asarray(attrs["gender"])}
+    return np.asarray(flat), labels

@@ -1,0 +1,277 @@
+"""Layer-wise HiGSFA training + full-pipeline artifact production.
+
+Training a hierarchical SFA network is layer-local (the MDP/cuicuilco hinet
+scheme the reference's networks were built with, SURVEY.md 2.3): each layer
+is fit on the previous layer's outputs, with the training graph shared by
+all receptive fields. Per layer:
+
+1. gather + expand the layer inputs on device (batched, chunked),
+2. accumulate graph covariances (batched GEMMs),
+3. solve the (F, D, D) generalized eigenproblems (host float64),
+4. propagate outputs to train the next layer.
+
+``train_pipeline`` produces every artifact of the 22-stage reference pipeline
+(Pipelines/Pipeline_experimental.txt): 6 networks (two FaceCentering
+discriminators, two pose-refinement nets, one eye net, one linear-PCA age
+net) and 22 Gaussian classifiers, with the reference's feature-sharing layout
+(``None0`` stages reuse the previous stage's features).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyfaceanalysis_tpu.config import NetGeometry
+from pyfaceanalysis_tpu.io import artifacts
+from pyfaceanalysis_tpu.io.pipeline import PipelineSpec, StageSpec, write_pipeline
+from pyfaceanalysis_tpu.models import builder
+from pyfaceanalysis_tpu.models.network import HierarchicalNetwork, apply_layer
+from pyfaceanalysis_tpu.models.sfa import pca_fit, sfa_fit
+from pyfaceanalysis_tpu.ops.gaussian import GaussianRegressor
+from pyfaceanalysis_tpu.training import datasets
+
+
+def _layer_inputs(spec, x: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Gather + expand layer inputs on device, chunked: (N, P) -> (N, F, De)."""
+    idx = jnp.asarray(spec.indices_array())
+
+    @jax.jit
+    def fn(xc):
+        fields = jnp.take(xc, idx, axis=1)
+        return spec.expansion(fields)
+
+    outs = [np.asarray(fn(jnp.asarray(x[i:i + chunk])))
+            for i in range(0, len(x), chunk)]
+    return np.concatenate(outs, axis=0)
+
+
+def _layer_outputs(spec, node, x: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    fn = jax.jit(lambda xc: apply_layer(spec, node, xc))
+    outs = [np.asarray(fn(jnp.asarray(x[i:i + chunk])))
+            for i in range(0, len(x), chunk)]
+    return np.concatenate(outs, axis=0)
+
+
+def train_network(net: HierarchicalNetwork, x: np.ndarray,
+                  graph: str = "temporal",
+                  labels: Optional[np.ndarray] = None,
+                  num_groups: int = 50, verbose: bool = True
+                  ) -> HierarchicalNetwork:
+    """Trains all layers of ``net`` on (N, D_in) data with one shared graph."""
+    params = []
+    cur = x
+    for li, spec in enumerate(net.specs):
+        t0 = time.time()
+        inp = _layer_inputs(spec, cur)
+        if spec.node == "pca":
+            node = pca_fit(inp, spec.out_dim)
+        else:
+            node = sfa_fit(inp, spec.out_dim, graph=graph, labels=labels,
+                           num_groups=num_groups)
+        params.append(node)
+        cur = _layer_outputs(spec, node, cur)
+        if verbose:
+            print(f"  layer {li}: fields={spec.num_fields} "
+                  f"in={inp.shape[-1]} out={spec.out_dim} "
+                  f"[{time.time() - t0:.1f}s]", flush=True)
+    return dataclasses.replace(net, params=params)
+
+
+def fit_regressor_bins(features: np.ndarray, values: np.ndarray,
+                       input_dim: int, num_classes: int = 50,
+                       reg: float = 1e-6) -> GaussianRegressor:
+    """Discretizes a continuous label into quantile bins and fits per-class
+    Gaussians; avg_labels = per-class mean of the raw values (the reference
+    classifiers' avg_labels are exactly such class means, SURVEY.md 2.2)."""
+    x = np.asarray(features)[:, :input_dim]
+    v = np.asarray(values, np.float64)
+    # Keep enough samples per class for a stable covariance.
+    num_classes = max(2, min(num_classes, len(v) // (3 * input_dim + 10)))
+    edges = np.quantile(v, np.linspace(0, 1, num_classes + 1)[1:-1])
+    cls = np.searchsorted(edges, v)
+    keep_classes, counts = np.unique(cls, return_counts=True)
+    # Remap to dense ids, dropping classes too small for a covariance.
+    valid = keep_classes[counts > input_dim + 2]
+    remap = {c: i for i, c in enumerate(valid)}
+    sel = np.isin(cls, valid)
+    dense = np.array([remap[c] for c in cls[sel]])
+    avg = np.array([v[sel][dense == i].mean() for i in range(len(valid))])
+    return GaussianRegressor.fit(x[sel], dense, avg_labels=avg, reg=reg)
+
+
+def fit_regressor_classes(features: np.ndarray, cls: np.ndarray,
+                          avg_labels: np.ndarray, input_dim: int,
+                          reg: float = 1e-6) -> GaussianRegressor:
+    """Fits per-class Gaussians on pre-defined integer classes."""
+    x = np.asarray(features)[:, :input_dim]
+    cls = np.asarray(cls)
+    present = np.unique(cls)
+    remap = {c: i for i, c in enumerate(present)}
+    dense = np.array([remap[c] for c in cls])
+    return GaussianRegressor.fit(x, dense,
+                                 avg_labels=np.asarray(avg_labels)[present],
+                                 reg=reg)
+
+
+def _execute(net: HierarchicalNetwork, x: np.ndarray,
+             chunk: int = 2048) -> np.ndarray:
+    fn = jax.jit(net.execute)
+    return np.concatenate([np.asarray(fn(jnp.asarray(x[i:i + chunk])))
+                           for i in range(0, len(x), chunk)], axis=0)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Sizes for the synthetic training run (defaults give a usable pipeline
+    in a few minutes; crank up for quality)."""
+
+    num_faces: int = 150
+    steps_per_face: int = 40
+    disc_faces: int = 150
+    disc_steps: int = 40
+    eye_faces: int = 120
+    eye_steps: int = 40
+    age_samples: int = 4000
+    pose_classes: int = 50
+    seed: int = 12345600    # the reference's RNG seed (FaceDetectUpdated.py:146)
+    top_dim: int = 20
+    train_final_disc: bool = True
+
+
+# (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
+# = reuse previous features (matches Pipeline_experimental.txt's layout).
+_STAGE_LAYOUT = [
+    ("Disc1", "net_disc", "clf_Disc1", 9),
+    ("PosX0", "net_pose0", "clf_PosX0", 10),
+    ("PosY0", "None0", "clf_PosY0", 20),
+    ("PAng0", "None0", "clf_PAng0", 20),
+    ("Scale0", "None0", "clf_Scale0", 20),
+    ("Disc3", "net_disc", "clf_Disc1", 9),
+    ("PosX1", "net_pose1", "clf_PosX1", 20),
+    ("PosY1", "None0", "clf_PosY1", 20),
+    ("PAng1", "None0", "clf_PAng1", 20),
+    ("Scale1", "None0", "clf_Scale1", 20),
+    ("Disc5", "net_disc", "clf_Disc1", 9),
+    ("PosX2", "net_pose1", "clf_PosX1", 20),
+    ("PosY2", "None0", "clf_PosY1", 20),
+    ("PAng2", "None0", "clf_PAng1", 20),
+    ("Scale2", "None0", "clf_Scale1", 20),
+    ("Disc7", "net_disc", "clf_Disc1", 9),
+    ("Disc9", "net_disc_final", "clf_Disc9", 9),
+    ("EyeLX", "net_eye", "clf_EyeLX", 12),
+    ("EyeLY", "None0", "clf_EyeLY", 10),
+    ("Age", "net_age", "clf_Age", 4),
+    ("Race", "None0", "clf_Race", 5),
+    ("Gender", "None0", "clf_Gender", 5),
+]
+
+
+def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
+                   face_geom: NetGeometry = NetGeometry(),
+                   verbose: bool = True) -> None:
+    """Trains every network/classifier and writes the artifact directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(cfg.seed)
+    keys = jax.random.split(key, 8)
+    eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
+                           subimage_width=64, subimage_height=64,
+                           regression_width=64, regression_height=64)
+    age_geom = NetGeometry(Dx=0, Dy=0, Dang=1.14, mins=1.14, maxs=1.14,
+                           subimage_width=96, subimage_height=96,
+                           regression_width=160, regression_height=160)
+    nets: Dict[str, HierarchicalNetwork] = {}
+    clfs: Dict[str, GaussianRegressor] = {}
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    # --- pose nets (iter0: wide ranges; iter1: narrow, shared by iter2) ----
+    for name, ranges, kidx in [("net_pose0", (40.0, 20.0, 22.5), 0),
+                               ("net_pose1", (14.0, 13.0, 21.0), 1)]:
+        log(f"[train] {name}: rendering pose walks...")
+        x, labels = datasets.pose_dataset(keys[kidx], cfg.num_faces,
+                                          cfg.steps_per_face, face_geom,
+                                          *ranges)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
+        net = train_network(net, x, graph="temporal", verbose=verbose)
+        nets[name] = net
+        feats = _execute(net, x)
+        it = "0" if name.endswith("0") else "1"
+        for lab_name, stage, dim in [("dx", f"PosX{it}", 10 if it == "0" else 20),
+                                     ("dy", f"PosY{it}", 20),
+                                     ("ang", f"PAng{it}", 20),
+                                     ("scale", f"Scale{it}", 20)]:
+            cname = {"dx": "PosX", "dy": "PosY", "ang": "PAng",
+                     "scale": "Scale"}[lab_name] + it
+            clfs[f"clf_{cname}"] = fit_regressor_bins(
+                feats, labels[lab_name], dim, cfg.pose_classes)
+        log(f"[train] {name}: done")
+
+    # --- discrimination nets ------------------------------------------------
+    disc_names = ["net_disc"] + (["net_disc_final"] if cfg.train_final_disc
+                                 else [])
+    for i, name in enumerate(disc_names):
+        log(f"[train] {name}: rendering graded centering classes...")
+        x, cls, avg = datasets.disc_dataset(keys[2 + i], cfg.disc_faces,
+                                            cfg.disc_steps, face_geom)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        net = train_network(net, x, graph="clustered", labels=cls,
+                            verbose=verbose)
+        nets[name] = net
+        feats = _execute(net, x)
+        cname = "clf_Disc1" if name == "net_disc" else "clf_Disc9"
+        clfs[cname] = fit_regressor_classes(feats, cls, avg, input_dim=9)
+        log(f"[train] {name}: done")
+    if not cfg.train_final_disc:
+        nets["net_disc_final"] = nets["net_disc"]
+        clfs["clf_Disc9"] = clfs["clf_Disc1"]
+
+    # --- eye net ------------------------------------------------------------
+    log("[train] net_eye: rendering eye walks...")
+    x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces, cfg.eye_steps,
+                                     eye_geom)
+    net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+    net = train_network(net, x, graph="temporal", verbose=verbose)
+    nets["net_eye"] = net
+    feats = _execute(net, x)
+    clfs["clf_EyeLX"] = fit_regressor_bins(feats, labels["x"], 12,
+                                           cfg.pose_classes)
+    clfs["clf_EyeLY"] = fit_regressor_bins(feats, labels["y"], 10,
+                                           cfg.pose_classes)
+    log("[train] net_eye: done")
+
+    # --- age/race/gender net -------------------------------------------------
+    log("[train] net_age: rendering Z-frame faces...")
+    x, labels = datasets.age_dataset(keys[5], cfg.age_samples)
+    net = builder.build_pca_net(96, top_dim=cfg.top_dim)
+    net = train_network(net, x, graph="temporal", verbose=verbose)
+    nets["net_age"] = net
+    feats = _execute(net, x)
+    clfs["clf_Age"] = fit_regressor_bins(feats, labels["age"], 4,
+                                         num_classes=39)
+    clfs["clf_Race"] = fit_regressor_classes(
+        feats, (labels["race"] > 0).astype(int), np.array([-2.0, 2.0]), 5)
+    clfs["clf_Gender"] = fit_regressor_classes(
+        feats, (labels["gender"] > 0).astype(int), np.array([-1.0, 1.0]), 5)
+    log("[train] net_age: done")
+
+    # --- write artifacts ------------------------------------------------------
+    for name, net in nets.items():
+        artifacts.save_network(os.path.join(out_dir, name + ".npz"), net)
+    for name, clf in clfs.items():
+        artifacts.save_classifier(os.path.join(out_dir, name + ".npz"), clf,
+                                  clf.means.shape[1])
+    stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
+    spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
+    write_pipeline(os.path.join(out_dir, "Pipeline_tpu.txt"), spec)
+    artifacts.save_manifest(out_dir, face_geom, eye_geom, age_geom)
+    log(f"[train] wrote pipeline artifacts to {out_dir}")

@@ -1,0 +1,142 @@
+"""Tests for the model zoo: expansions, SFA/GSFA/PCA solvers, networks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyfaceanalysis_tpu.models import builder
+from pyfaceanalysis_tpu.models.expansion import Expansion
+from pyfaceanalysis_tpu.models.network import apply_network
+from pyfaceanalysis_tpu.models.sfa import (
+    igsfa_fit,
+    pca_fit,
+    sfa_fit,
+)
+
+
+class TestExpansion:
+    def test_identity(self):
+        x = np.random.randn(5, 3)
+        e = Expansion("identity")
+        assert e.output_dim(3) == 3
+        np.testing.assert_allclose(e(x), x)
+
+    def test_spow_dims_and_values(self):
+        x = np.array([[4.0, -9.0]])
+        e = Expansion("spow")
+        assert e.output_dim(2) == 4
+        out = np.asarray(e(x))
+        np.testing.assert_allclose(out[0, :2], [4.0, -9.0])
+        np.testing.assert_allclose(out[0, 2:], [4.0 ** 0.8, -(9.0 ** 0.8)],
+                                   rtol=1e-6)
+
+    def test_qt_dims_and_values(self):
+        x = np.array([[1.0, 2.0, 3.0]])
+        e = Expansion("qt2")
+        assert e.output_dim(3) == 3 + 3      # x + products of first 2 dims
+        out = np.asarray(e(x))
+        np.testing.assert_allclose(out[0], [1, 2, 3, 1, 2, 4])
+
+    def test_qt_caps_at_dim(self):
+        e = Expansion("qt8")
+        assert e.output_dim(4) == 4 + 10
+
+    def test_batched_field_axis(self):
+        x = np.random.randn(6, 7, 4)
+        out = np.asarray(Expansion("spow")(x))
+        assert out.shape == (6, 7, 8)
+
+
+class TestSFA:
+    def test_recovers_slow_signal(self):
+        t = np.linspace(0, 8 * np.pi, 2000)
+        slow, fast = np.sin(t), np.sin(37 * t)
+        rng = np.random.RandomState(0)
+        x = np.stack([slow, fast], 1) @ rng.randn(2, 6)
+        node = sfa_fit(x, 2, graph="temporal")
+        y = np.asarray(node(jnp.asarray(x)))
+        assert abs(np.corrcoef(y[:, 0], slow)[0, 1]) > 0.98
+
+    def test_serial_graph_orders_by_label(self):
+        rng = np.random.RandomState(1)
+        label = rng.uniform(-1, 1, 3000)
+        x = np.stack([label + 0.05 * rng.randn(3000),
+                      rng.randn(3000)], 1) @ rng.randn(2, 5)
+        node = sfa_fit(x, 1, graph="serial", labels=label, num_groups=30)
+        y = np.asarray(node(jnp.asarray(x)))[:, 0]
+        assert abs(np.corrcoef(y, label)[0, 1]) > 0.95
+
+    def test_clustered_graph_separates_classes(self):
+        rng = np.random.RandomState(2)
+        cls = rng.randint(0, 2, 2000)
+        x = np.stack([cls * 2.0 - 1 + 0.2 * rng.randn(2000),
+                      rng.randn(2000)], 1) @ rng.randn(2, 4)
+        node = sfa_fit(x, 1, graph="clustered", labels=cls)
+        y = np.asarray(node(jnp.asarray(x)))[:, 0]
+        assert abs(np.corrcoef(y, cls)[0, 1]) > 0.9
+
+    def test_unit_variance_outputs(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(5000, 6).cumsum(axis=0)
+        node = sfa_fit(x, 3, graph="temporal")
+        y = np.asarray(node(jnp.asarray(x)))
+        np.testing.assert_allclose(y.std(axis=0), 1.0, atol=0.05)
+
+    def test_batched_fields(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(1000, 3, 5).cumsum(axis=0)   # 3 independent fields
+        node = sfa_fit(x, 2, graph="temporal")
+        assert node.W.shape == (3, 5, 2)
+        y = np.asarray(node(jnp.asarray(x)))
+        assert y.shape == (1000, 3, 2)
+
+    def test_pca_principal_first(self):
+        rng = np.random.RandomState(5)
+        x = rng.randn(2000, 3) * np.array([10.0, 1.0, 0.1])
+        node = pca_fit(x, 2)
+        W = np.asarray(node.W)[0]
+        assert abs(W[0, 0]) > 0.99        # first PC along the big axis
+
+    def test_igsfa_preserves_slow_and_energy(self):
+        t = np.linspace(0, 6 * np.pi, 3000)
+        rng = np.random.RandomState(6)
+        x = np.stack([np.sin(t), np.sin(23 * t), np.sin(31 * t)], 1) \
+            @ rng.randn(3, 6)
+        node = igsfa_fit(x, slow_dim=1, out_dim=3, graph="temporal")
+        y = np.asarray(node(jnp.asarray(x)))
+        assert y.shape == (3000, 3)
+        assert abs(np.corrcoef(y[:, 0], np.sin(t))[0, 1]) > 0.95
+
+
+class TestNetworks:
+    def test_builder_shapes(self):
+        net = builder.build_higsfa(64)
+        assert net.specs[0].num_fields == 256
+        assert net.specs[-1].num_fields == 1
+        assert net.out_dim == 20
+        # Each merge halves the field count.
+        counts = [s.num_fields for s in net.specs]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_field_indices_cover_input(self):
+        net = builder.build_higsfa(64)
+        idx = net.specs[0].indices_array()
+        assert sorted(idx.ravel().tolist()) == list(range(64 * 64))
+
+    def test_apply_network_shapes(self):
+        net = builder.build_higsfa(64)
+        rng = np.random.RandomState(0)
+        x = rng.rand(1500, 4096).astype(np.float32)
+        from pyfaceanalysis_tpu.training.trainer import train_network
+        trained = train_network(net, x[:1200], graph="temporal",
+                                verbose=False)
+        y = np.asarray(apply_network(trained.specs, trained.params,
+                                     jnp.asarray(x[:8])))
+        assert y.shape == (8, 20)
+        assert np.isfinite(y).all()
+
+    def test_pca_net_shapes(self):
+        net = builder.build_pca_net(96)
+        assert net.specs[0].field_size == 36
+        assert net.out_dim == 20
