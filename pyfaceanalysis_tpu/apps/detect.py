@@ -161,9 +161,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     for k, v in display_flags.items():
-        if v:
-            print(f"notice: --{k} requested; interactive display backends "
-                  "are not bundled in the TPU build -- ignored")
+        if v and k in ("camera_enabled", "pygame_display"):
+            print(f"notice: --{k} requested; use `pfa-camera` for the live "
+                  "pygame loop")
 
     cfg = DetectorConfig(**cfg_kw)
     return run_detection(image_filenames, output_filenames, cfg,
@@ -172,7 +172,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                          coordinates_filename=coordinates_filename,
                          true_coordinates_file=true_coordinates_file,
                          save_patches=save_patches,
-                         save_normalized=save_normalized, verbose=verbose)
+                         save_normalized=save_normalized, verbose=verbose,
+                         display_plots=display_flags.get("display_plots",
+                                                         False),
+                         show_final_detection=display_flags.get(
+                             "show_final_detection", False))
 
 
 def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
@@ -181,7 +185,8 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
                   coordinates_filename: Optional[str] = None,
                   true_coordinates_file: Optional[str] = None,
                   save_patches: bool = False, save_normalized: bool = False,
-                  verbose: bool = True) -> int:
+                  verbose: bool = True, display_plots: bool = False,
+                  show_final_detection: bool = False) -> int:
     from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
     from pyfaceanalysis_tpu.io import images as im_io
     from pyfaceanalysis_tpu.io import writers
@@ -214,8 +219,22 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
         image, factor = im_io.load_image(
             img_fn, cfg.prescale_size if cfg.image_prescaling else None)
         benchmark.add_task_from_previous_time("Image loaded or captured")
-        detections = detector.detect(image)
+        detections = detector.detect(image, collect_trace=display_plots)
         benchmark.add_task_from_previous_time("Full detection pass")
+        if display_plots and detector.last_trace is not None:
+            from pyfaceanalysis_tpu import viz
+            names = [s.raw_type for s in model.spec.detection_stages]
+            out = viz.plot_cascade_trace(
+                image, detector.last_trace, names,
+                f"cascade_trace_{i:03d}.png")
+            if out and verbose:
+                print(f"wrote cascade trace plot: {out}")
+        if show_final_detection:
+            from pyfaceanalysis_tpu import viz
+            out = viz.plot_final_detections(
+                image, detections, f"final_detection_{i:03d}.png")
+            if out and verbose:
+                print(f"wrote final detection plot: {out}")
         total_windows += detector.windows_scanned
         total_faces += len(detections)
         if verbose:

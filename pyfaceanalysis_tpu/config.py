@@ -99,6 +99,10 @@ class DetectorConfig:
     # TPU execution: patch batches are padded to the next bucket size so XLA
     # compiles a handful of shapes instead of one per grid (SURVEY.md para 5b).
     bucket_sizes: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)
+    # Device-side survivor compaction width: cascade+eye results are gathered
+    # into this many rows on device so only a tiny block crosses the
+    # device->host link (the scarce resource on tunneled TPU setups).
+    max_detections: int = 512
 
     def resolved_cut_offs(self) -> Tuple[float, ...]:
         """Applies ``last_cut_off_face`` to slot 9 (FaceDetectUpdated.py:434-438)."""

@@ -93,7 +93,7 @@ class CascadeState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("plan", "specs_tuple", "geom", "cfg",
-                                   "patch_hw"))
+                                   "patch_hw", "collect_trace"))
 def run_cascade(plan: Tuple[StagePlan, ...],
                 specs_tuple,                 # tuple of per-network spec tuples
                 geom: NetGeometry,
@@ -102,9 +102,16 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 image: jax.Array,
                 net_params,                  # tuple of per-network param lists
                 clf_params,                  # tuple of GaussianRegressor
-                state: CascadeState) -> CascadeState:
+                state: CascadeState,
+                collect_trace: bool = False):
     """Runs all detection stages on one padded patch batch. One jit per
-    (plan, bucket, image shape)."""
+    (plan, bucket, image shape).
+
+    With ``collect_trace`` the per-stage (boxes, angles, mask, conf)
+    snapshots are also returned -- the data behind the reference's per-stage
+    debug plot matrix (face_analysis.py:673-981); see viz.plot_cascade_trace.
+    """
+    trace = []
     cut_offs = cfg.resolved_cut_offs()
     min_scale_radio = geom.mins / DESIRED_SAMPLING
     max_scale_radio = geom.maxs / DESIRED_SAMPLING
@@ -166,9 +173,15 @@ def run_cascade(plan: Tuple[StagePlan, ...],
         else:
             raise ValueError(f"unknown stage kind {st.kind}")
 
-    return CascadeState(boxes, angles, mask, conf, state.orig_cx,
-                        state.orig_cy, state.max_dx, state.max_dy,
-                        state.base_side)
+        if collect_trace:
+            trace.append((boxes, angles, mask, conf))
+
+    out = CascadeState(boxes, angles, mask, conf, state.orig_cx,
+                       state.orig_cy, state.max_dx, state.max_dy,
+                       state.base_side)
+    if collect_trace:
+        return out, tuple(trace)
+    return out
 
 
 def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,

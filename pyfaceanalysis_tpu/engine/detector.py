@@ -124,6 +124,56 @@ class DetectionModel:
         return model
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("plan", "det_specs", "geom", "eye_geom",
+                                   "cfg", "eye_specs", "dim_x", "dim_y",
+                                   "k_out"))
+def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
+                 dim_x, dim_y, k_out,
+                 image, det_params, det_clfs, eye_params, clf_ex, clf_ey,
+                 state):
+    """Fused cascade + survivor compaction + eye localization, one jit.
+
+    Returns a (k_out, 11) block: [x0, y0, x1, y1, angle, elx, ely, erx, ery,
+    conf, valid] -- the ONLY device->host transfer of the whole detection
+    pass (pulling full padded cascade state is wasteful on tunneled links).
+    """
+    out = cascade_mod.run_cascade(
+        plan, det_specs, geom, cfg,
+        (geom.subimage_height, geom.subimage_width),
+        image, det_params, det_clfs, state)
+
+    # Device-side compaction: alive rows first (stable argsort of ~mask).
+    k_out = min(k_out, out.mask.shape[0])
+    order = jnp.argsort(jnp.logical_not(out.mask))
+    idx = order[:k_out]
+    boxes = out.boxes[idx]
+    angles = out.angles[idx]
+    conf = out.conf[idx]
+    valid = out.mask[idx]
+
+    _, l_boxes, r_boxes = geometry.compute_approximate_eye_boxes_coordinates(
+        boxes, angles, face_sampling=DESIRED_SAMPLING,
+        eye_sampling=EYE_SAMPLING)
+    eye_boxes = jnp.concatenate([l_boxes, r_boxes], axis=0)
+    both_angles = jnp.concatenate([angles, angles], axis=0)
+    new_boxes, too_far = eyes_mod.localize_eyes(
+        eye_specs, dim_x, dim_y,
+        (eye_geom.subimage_height, eye_geom.subimage_width),
+        cfg.tolerance_xy_eye,
+        image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles)
+    l_new, r_new = new_boxes[:k_out], new_boxes[k_out:]
+    bad = too_far[:k_out] | too_far[k_out:]
+    valid = valid & jnp.logical_not(bad)
+    l_c = (l_new[:, 0:2] + l_new[:, 2:4]) / 2.0
+    r_c = (r_new[:, 0:2] + r_new[:, 2:4]) / 2.0
+    return jnp.concatenate(
+        [boxes, angles[:, None], l_c, r_c, conf[:, None],
+         valid[:, None].astype(jnp.float32)], axis=1)
+
+
 class FaceDetector:
     """End-to-end detector with the reference's public behavior."""
 
@@ -148,17 +198,20 @@ class FaceDetector:
         return min(1.0, self.config.prescale_size / float(m))
 
     def _to_canvas(self, image: np.ndarray) -> jax.Array:
+        """Pads into the fixed canvas and ships it host->device as uint8
+        (4x smaller than float32 on the wire), converting on device."""
         H, W = self._canvas_hw
-        canvas = np.zeros((H, W), np.float32)
+        canvas = np.zeros((H, W), np.uint8)
         h = min(image.shape[0], H)
         w = min(image.shape[1], W)
-        canvas[:h, :w] = np.asarray(image, np.float32)[:h, :w]
-        return jnp.asarray(canvas)
+        canvas[:h, :w] = np.clip(np.asarray(image[:h, :w]) * 255.0,
+                                 0, 255).astype(np.uint8)
+        return jnp.asarray(canvas).astype(jnp.float32) / 255.0
 
     # -- main entry -----------------------------------------------------------
 
-    def detect(self, image: np.ndarray, estimate_attributes: bool = True
-               ) -> List[Detection]:
+    def detect(self, image: np.ndarray, estimate_attributes: bool = True,
+               collect_trace: bool = False) -> List[Detection]:
         """Detects faces in a grayscale image (H, W) with values in [0, 1].
 
         The image must already be prescaled (use io.images.load_image which
@@ -179,20 +232,34 @@ class FaceDetector:
         if n_real == 0:
             return []
 
-        out = cascade_mod.run_cascade(
-            model.plan, model.det_specs, geom, cfg,
-            (geom.subimage_height, geom.subimage_width),
-            device_image, model.det_params, model.det_clfs, state)
-
-        mask = np.asarray(out.mask)
-        boxes = np.asarray(out.boxes)[mask]
-        angles = np.asarray(out.angles)[mask]
-        confs = np.asarray(out.conf)[mask]
-        if len(boxes) == 0:
-            self._update_tracking(np.zeros((0, 10)))
-            return []
-
-        rows = self._localize_eyes(device_image, boxes, angles, confs)
+        self.last_trace = None
+        if collect_trace:
+            out, trace = cascade_mod.run_cascade(
+                model.plan, model.det_specs, geom, cfg,
+                (geom.subimage_height, geom.subimage_width),
+                device_image, model.det_params, model.det_clfs, state,
+                collect_trace=True)
+            self.last_trace = [tuple(np.asarray(t) for t in snap)
+                               for snap in trace]
+            mask = np.asarray(out.mask)
+            boxes = np.asarray(out.boxes)[mask]
+            angles = np.asarray(out.angles)[mask]
+            confs = np.asarray(out.conf)[mask]
+            if len(boxes) == 0:
+                self._update_tracking(np.zeros((0, 10)))
+                return []
+            rows = self._localize_eyes(device_image, boxes, angles, confs)
+        else:
+            eye_net = model.nets["net_eye"]
+            block = _detect_core(
+                model.plan, model.det_specs, geom, model.spec.eye_geom, cfg,
+                eye_net.specs, model.clf_input_dim("EyeLX"),
+                model.clf_input_dim("EyeLY"), cfg.max_detections,
+                device_image, model.det_params, model.det_clfs,
+                tuple(eye_net.params), model.classifier("EyeLX"),
+                model.classifier("EyeLY"), state)
+            block = np.asarray(block)                 # the one result pull
+            rows = block[block[:, 10] > 0.5][:, :10]
         if len(rows) == 0:
             self._update_tracking(rows)
             return []

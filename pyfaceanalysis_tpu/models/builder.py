@@ -87,14 +87,15 @@ def build_higsfa(input_side: int = 64, base_field: int = 4,
         Expansion(expansion), d, node=node))
     dims = _merge_schedule(gy, gx, d, top_dim)
     prev_d = d
+    exp = Expansion(merge_expansion)
     for (axis, out_d) in dims:
         idx = _merge_indices(gy, gx, prev_d, axis)
         if axis == "x":
             gx //= 2
         else:
             gy //= 2
-        specs.append(LayerSpec(_as_tuple(idx), Expansion(merge_expansion),
-                               out_d, node=node))
+        out_d = min(out_d, exp.output_dim(2 * prev_d))
+        specs.append(LayerSpec(_as_tuple(idx), exp, out_d, node=node))
         prev_d = out_d
     return HierarchicalNetwork(tuple(specs), [], (input_side, input_side))
 
@@ -142,6 +143,7 @@ def build_pca_net(input_side: int = 96, base_field: int = 6,
             gx //= 2
         else:
             gy //= 2
+        out_d = min(out_d, 2 * prev_d)      # linear layer: at most its input
         specs.append(LayerSpec(_as_tuple(idx), Expansion("identity"),
                                out_d, node="pca"))
         prev_d = out_d

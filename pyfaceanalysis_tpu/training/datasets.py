@@ -72,16 +72,19 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
             + attrs["mouth"][:, 1]) / 2.0
 
-    def walks(k, lo, hi):
-        ks = jax.random.split(k, num_faces)
-        return jax.vmap(lambda kk: synth.ou_walk(kk, steps, lo, hi))(ks)
+    # Independent uniform pose draws (the nets are trained with label-graph
+    # GSFA, so no temporal ordering is needed; uniform coverage beats walks).
+    M, T = num_faces, steps
+    dx = jax.random.uniform(k_dx, (M, T), minval=-dx_range, maxval=dx_range)
+    dy = jax.random.uniform(k_dy, (M, T), minval=-dy_range, maxval=dy_range)
+    ang = jax.random.uniform(k_ang, (M, T), minval=-ang_range,
+                             maxval=ang_range)
+    smp = jax.random.uniform(k_s, (M, T), minval=geom.mins, maxval=geom.maxs)
 
-    dx = walks(k_dx, -dx_range, dx_range)                        # (M, T) units
-    dy = walks(k_dy, -dy_range, dy_range)
-    ang = walks(k_ang, -ang_range, ang_range)
-    smp = walks(k_s, geom.mins, geom.maxs)
-
-    b = DESIRED_SAMPLING * F[:, None] / smp                      # box side px
+    # Scale label semantics: the update rule ``new_w = w / reg * 0.825``
+    # (face_analysis.py:820-833) maps the box onto the face size F exactly
+    # when reg = 0.825 * b / F, so label smp <=> box side b = smp * F / 0.825.
+    b = smp * F[:, None] / DESIRED_SAMPLING                      # box side px
     cx = fc_x[:, None] + dx * b / geom.regression_width
     cy = fc_y[:, None] + dy * b / geom.regression_height
     boxes = _boxes_from_centers(cx, cy, b)                       # (M, T, 4)
@@ -94,7 +97,9 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
         "ang": np.asarray(ang).reshape(N),
         "scale": np.asarray(smp).reshape(N),
     }
-    return np.asarray(patches).reshape(N, -1), labels
+    # Patches stay on DEVICE (the trainer consumes them there; pulling the
+    # full patch tensor to host is prohibitively slow over a TPU tunnel).
+    return jnp.reshape(patches, (N, -1)), labels
 
 
 def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
@@ -127,7 +132,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     smp = DESIRED_SAMPLING * jnp.exp(log_span * frac * jnp.sign(d[3])
                                      * (0.3 + 0.7 * jnp.abs(d[3])))
 
-    b = DESIRED_SAMPLING * F[:, None] / smp
+    b = smp * F[:, None] / DESIRED_SAMPLING
     cx = fc_x[:, None] + dx * b / geom.regression_width
     cy = fc_y[:, None] + dy * b / geom.regression_height
     boxes = _boxes_from_centers(cx, cy, b)
@@ -147,8 +152,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     bg_patches = jnp.reshape(
         _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))), (nb * per, -1))
 
-    all_patches = np.concatenate([np.asarray(patches),
-                                  np.asarray(bg_patches)], axis=0)
+    all_patches = jnp.concatenate([patches, bg_patches], axis=0)  # device
     all_cls = np.concatenate([cls,
                               np.full(nb * per, num_classes - 1, np.int64)])
     avg_labels = np.linspace(0.0, 1.0, num_classes)
@@ -179,14 +183,9 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
     use_left = jax.random.bernoulli(k_lr, shape=(M,))
     eye = jnp.where(use_left[:, None], attrs["eye_l"], attrs["eye_r"])
 
-    def walks(k):
-        ks = jax.random.split(k, M)
-        return jax.vmap(lambda kk: synth.ou_walk(kk, T, -10.0, 10.0))(ks)
-
-    lab_x = walks(k_dx)                                    # label units
-    lab_y = walks(k_dy)
-    ks_a = jax.random.split(k_ang, M)
-    ang = jax.vmap(lambda kk: synth.ou_walk(kk, T, -8.0, 8.0))(ks_a)
+    lab_x = jax.random.uniform(k_dx, (M, T), minval=-10.0, maxval=10.0)
+    lab_y = jax.random.uniform(k_dy, (M, T), minval=-10.0, maxval=10.0)
+    ang = jax.random.uniform(k_ang, (M, T), minval=-8.0, maxval=8.0)
 
     # box_center = eye + R(-ang) . (label/2.3719) * box_w / 64   (patch frame
     # -> image frame; engine.eyes applies the inverse).
@@ -204,7 +203,7 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
 
     labels = {"x": np.asarray(lab_x).reshape(-1),
               "y": np.asarray(lab_y).reshape(-1)}
-    return np.asarray(flat), labels
+    return flat, labels   # patches stay on device
 
 
 # --- Z-frame (age/race/gender) constants, from estimate_age_race_gender
@@ -247,4 +246,4 @@ def age_dataset(key, n: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     labels = {"age": np.asarray(attrs["age"]),
               "race": np.asarray(attrs["race"]),
               "gender": np.asarray(attrs["gender"])}
-    return np.asarray(flat), labels
+    return flat, labels   # patches stay on device

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import partial
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -33,30 +34,20 @@ from pyfaceanalysis_tpu.io import artifacts
 from pyfaceanalysis_tpu.io.pipeline import PipelineSpec, StageSpec, write_pipeline
 from pyfaceanalysis_tpu.models import builder
 from pyfaceanalysis_tpu.models.network import HierarchicalNetwork, apply_layer
-from pyfaceanalysis_tpu.models.sfa import pca_fit, sfa_fit
+from pyfaceanalysis_tpu.models.sfa import LinearNode
 from pyfaceanalysis_tpu.ops.gaussian import GaussianRegressor
 from pyfaceanalysis_tpu.training import datasets
 
 
-def _layer_inputs(spec, x: np.ndarray, chunk: int = 2048) -> np.ndarray:
-    """Gather + expand layer inputs on device, chunked: (N, P) -> (N, F, De)."""
-    idx = jnp.asarray(spec.indices_array())
-
-    @jax.jit
-    def fn(xc):
-        fields = jnp.take(xc, idx, axis=1)
-        return spec.expansion(fields)
-
-    outs = [np.asarray(fn(jnp.asarray(x[i:i + chunk])))
-            for i in range(0, len(x), chunk)]
-    return np.concatenate(outs, axis=0)
+@partial(jax.jit, static_argnames=("spec",))
+def _gather_expand(spec, x):
+    fields = jnp.take(x, jnp.asarray(spec.indices_array()), axis=1)
+    return spec.expansion(fields)
 
 
-def _layer_outputs(spec, node, x: np.ndarray, chunk: int = 2048) -> np.ndarray:
-    fn = jax.jit(lambda xc: apply_layer(spec, node, xc))
-    outs = [np.asarray(fn(jnp.asarray(x[i:i + chunk])))
-            for i in range(0, len(x), chunk)]
-    return np.concatenate(outs, axis=0)
+@partial(jax.jit, static_argnames=("spec",))
+def _apply(spec, node, x):
+    return apply_layer(spec, node, x)
 
 
 def train_network(net: HierarchicalNetwork, x: np.ndarray,
@@ -64,20 +55,33 @@ def train_network(net: HierarchicalNetwork, x: np.ndarray,
                   labels: Optional[np.ndarray] = None,
                   num_groups: int = 50, verbose: bool = True
                   ) -> HierarchicalNetwork:
-    """Trains all layers of ``net`` on (N, D_in) data with one shared graph."""
+    """Trains all layers of ``net`` on (N, D_in) data with one shared graph.
+
+    Data lives on device throughout; each layer costs one gather+expand and
+    one (F, D, D) moment accumulation + batched eigensolve -- all on device
+    (models.moments). Nothing larger than the layer weights crosses the
+    host boundary (tunneled-TPU device->host bandwidth is the scarce
+    resource).
+    """
+    from pyfaceanalysis_tpu.models import moments
+
     params = []
-    cur = x
+    cur = jnp.asarray(x, jnp.float32)
     for li, spec in enumerate(net.specs):
         t0 = time.time()
-        inp = _layer_inputs(spec, cur)
+        inp = _gather_expand(spec, cur)                  # (N, F, De) device
         if spec.node == "pca":
-            node = pca_fit(inp, spec.out_dim)
+            mean, B = moments.mean_cov(inp)
+            W = moments.solve_pca_device(B, spec.out_dim)
         else:
-            node = sfa_fit(inp, spec.out_dim, graph=graph, labels=labels,
-                           num_groups=num_groups)
+            mean, B, A = moments.gsfa_moments(inp, graph, labels=labels,
+                                              num_groups=num_groups)
+            W = moments.solve_gsfa_device(A, B, spec.out_dim)
+        node = LinearNode(mean, W)
         params.append(node)
-        cur = _layer_outputs(spec, node, cur)
+        cur = _apply(spec, node, cur)
         if verbose:
+            cur.block_until_ready()
             print(f"  layer {li}: fields={spec.num_fields} "
                   f"in={inp.shape[-1]} out={spec.out_dim} "
                   f"[{time.time() - t0:.1f}s]", flush=True)
@@ -120,11 +124,9 @@ def fit_regressor_classes(features: np.ndarray, cls: np.ndarray,
                                  reg=reg)
 
 
-def _execute(net: HierarchicalNetwork, x: np.ndarray,
-             chunk: int = 2048) -> np.ndarray:
-    fn = jax.jit(net.execute)
-    return np.concatenate([np.asarray(fn(jnp.asarray(x[i:i + chunk])))
-                           for i in range(0, len(x), chunk)], axis=0)
+def _execute(net: HierarchicalNetwork, x: np.ndarray) -> np.ndarray:
+    """One device pass; only the (N, out_dim) features come back to host."""
+    return np.asarray(jax.jit(net.execute)(jnp.asarray(x, jnp.float32)))
 
 
 @dataclasses.dataclass
@@ -202,7 +204,12 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                           *ranges)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim)
         log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
-        net = train_network(net, x, graph="temporal", verbose=verbose)
+        # Combined 4-label serial graph: features must encode ALL pose
+        # parameters (dx, dy, angle, scale), not per-face identity.
+        lab4 = np.stack([labels["dx"], labels["dy"], labels["ang"],
+                         labels["scale"]], axis=1)
+        net = train_network(net, x, graph="serial", labels=lab4,
+                            num_groups=cfg.pose_classes, verbose=verbose)
         nets[name] = net
         feats = _execute(net, x)
         it = "0" if name.endswith("0") else "1"
@@ -240,7 +247,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces, cfg.eye_steps,
                                      eye_geom)
     net = builder.build_higsfa(64, top_dim=cfg.top_dim)
-    net = train_network(net, x, graph="temporal", verbose=verbose)
+    lab2 = np.stack([labels["x"], labels["y"]], axis=1)
+    net = train_network(net, x, graph="serial", labels=lab2,
+                        num_groups=cfg.pose_classes, verbose=verbose)
     nets["net_eye"] = net
     feats = _execute(net, x)
     clfs["clf_EyeLX"] = fit_regressor_bins(feats, labels["x"], 12,

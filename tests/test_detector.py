@@ -1,0 +1,122 @@
+"""End-to-end detector tests on random-weight artifacts (plumbing: artifact
+loading, grid, cascade, eyes, NMS, heads, CLI writer). Detection *quality*
+is covered by the slow trained-pipeline test in test_trained_pipeline.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyfaceanalysis_tpu.config import DetectorConfig, NetGeometry
+from pyfaceanalysis_tpu.io import artifacts
+from pyfaceanalysis_tpu.io.pipeline import PipelineSpec, StageSpec, write_pipeline
+from pyfaceanalysis_tpu.models import builder
+from pyfaceanalysis_tpu.models.init import random_classifier, random_network_params
+from pyfaceanalysis_tpu.training.trainer import _STAGE_LAYOUT
+
+
+@pytest.fixture(scope="session")
+def random_artifact_dir(tmp_path_factory):
+    """A full 22-stage artifact directory with random weights (no training);
+    small 32x32 networks keep CPU compile times low."""
+    out = str(tmp_path_factory.mktemp("artifacts"))
+    side = 32
+    nets = {
+        "net_disc": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_disc_final": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_pose0": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_pose1": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_eye": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_age": builder.build_pca_net(96, d=6, top_dim=20),
+    }
+    for i, (name, net) in enumerate(nets.items()):
+        artifacts.save_network(os.path.join(out, name + ".npz"),
+                               random_network_params(net, seed=i))
+    ranges = {"Disc": (0, 1), "PosX": (-5, 5), "PosY": (-5, 5),
+              "PAng": (-10, 10), "Scale": (0.75, 0.9), "EyeLX": (-5, 5),
+              "EyeLY": (-5, 5), "Age": (16, 58), "Race": (-2, 2),
+              "Gender": (-1, 1)}
+    seen = set()
+    for i, (t, n, c, dim) in enumerate(_STAGE_LAYOUT):
+        if c in seen:
+            continue
+        seen.add(c)
+        kind = t if t in ranges else t[:-1]
+        lo, hi = ranges[kind]
+        clf = random_classifier(dim, 4, lo, hi, seed=i)
+        artifacts.save_classifier(os.path.join(out, c + ".npz"), clf, dim)
+    face_geom = NetGeometry(subimage_width=side, subimage_height=side)
+    eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
+                           subimage_width=side, subimage_height=side,
+                           regression_width=64, regression_height=64)
+    age_geom = NetGeometry(Dx=0, Dy=0, mins=1.14, maxs=1.14,
+                           subimage_width=96, subimage_height=96,
+                           regression_width=160, regression_height=160)
+    stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
+    write_pipeline(os.path.join(out, "Pipeline_tpu.txt"),
+                   PipelineSpec(face_geom, eye_geom, age_geom, stages))
+    artifacts.save_manifest(out, face_geom, eye_geom, age_geom)
+    return out
+
+
+@pytest.fixture(scope="session")
+def loaded_model(random_artifact_dir):
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel
+    return DetectionModel.load(random_artifact_dir)
+
+
+class TestModelLoading:
+    def test_load(self, loaded_model):
+        assert len(loaded_model.classifiers) == 22
+        assert len(loaded_model.plan) == 17
+        assert loaded_model.clf_input_dim("Age") == 4
+        assert loaded_model.clf_input_dim("EyeLX") == 12
+
+    def test_feature_sharing_layout(self, loaded_model):
+        # 4 distinct detection networks (disc, pose0, pose1, disc_final).
+        assert len(loaded_model.det_net_names) == 4
+
+
+class TestDetectEndToEnd:
+    def test_full_pipeline_runs(self, loaded_model):
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)  # keep everything
+        det = FaceDetector(loaded_model, cfg)
+        rng = np.random.RandomState(0)
+        image = rng.rand(120, 140).astype(np.float32)
+        out = det.detect(image)
+        assert det.windows_scanned > 0
+        for d in out:
+            assert np.isfinite(d.box).all()
+            assert np.isfinite([*d.eye_left, *d.eye_right]).all()
+            assert d.age is None or np.isfinite(d.age)
+
+    def test_trace_collection(self, loaded_model):
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096))
+        det = FaceDetector(loaded_model, cfg)
+        image = np.random.RandomState(1).rand(120, 140).astype(np.float32)
+        det.detect(image, collect_trace=True, estimate_attributes=False)
+        assert det.last_trace is not None
+        assert len(det.last_trace) == 17
+
+    def test_cli_run_detection(self, random_artifact_dir, tmp_path):
+        """The pfa-detect code path end to end, including the output file."""
+        from pyfaceanalysis_tpu.apps.detect import run_detection
+        from pyfaceanalysis_tpu.io import images as im_io
+        img_path = str(tmp_path / "scene.png")
+        out_path = str(tmp_path / "out.txt")
+        rng = np.random.RandomState(2)
+        im_io.save_image(img_path, rng.rand(100, 100))
+        cfg = DetectorConfig(smallest_face=0.5,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        rc = run_detection([img_path], [out_path], cfg,
+                           pipeline_dir=random_artifact_dir, verbose=False)
+        assert rc == 0
+        if os.path.exists(out_path):
+            for line in open(out_path):
+                assert len(line.split(",")) in (9, 13)

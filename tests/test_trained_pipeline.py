@@ -1,0 +1,81 @@
+"""Slow quality tests: train a small pipeline and verify it actually works
+(regressors track labels; the detector finds a rendered face).
+
+Run explicitly with:  pytest tests/test_trained_pipeline.py -m slow
+Excluded from the default suite (see conftest/pytest.ini markers) because
+training takes minutes.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
+    out = str(tmp_path_factory.mktemp("trained"))
+    cfg = TrainConfig(num_faces=60, steps_per_face=30, disc_faces=60,
+                      disc_steps=30, eye_faces=50, eye_steps=30,
+                      age_samples=1500, train_final_disc=False)
+    train_pipeline(out, cfg, verbose=False)
+    return out
+
+
+def test_pose_regressors_track_labels(trained_dir):
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel
+    from pyfaceanalysis_tpu.training import datasets
+    from pyfaceanalysis_tpu.config import NetGeometry
+    import jax.numpy as jnp
+
+    model = DetectionModel.load(trained_dir)
+    x, labels = datasets.pose_dataset(jax.random.PRNGKey(7), 12, 16,
+                                      NetGeometry(), 40.0, 20.0, 22.5)
+    net = model.network_for("PosX0")
+    feats = np.asarray(jax.jit(net.execute)(jnp.asarray(x)))
+    for stage, lab in [("PosX0", "dx"), ("PosY0", "dy"), ("PAng0", "ang"),
+                       ("Scale0", "scale")]:
+        clf = model.classifier(stage)
+        pred = np.asarray(clf.regression(
+            jnp.asarray(feats[:, :clf.input_dim])))
+        corr = np.corrcoef(pred, labels[lab])[0, 1]
+        assert corr > 0.5, f"{stage}: corr {corr:.2f} with {lab}"
+
+
+def test_disc_separates_faces_from_background(trained_dir):
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel
+    from pyfaceanalysis_tpu.training import datasets
+    from pyfaceanalysis_tpu.config import NetGeometry
+    import jax.numpy as jnp
+
+    model = DetectionModel.load(trained_dir)
+    x, cls, avg = datasets.disc_dataset(jax.random.PRNGKey(8), 12, 16,
+                                        NetGeometry())
+    net = model.network_for("Disc1")
+    feats = np.asarray(jax.jit(net.execute)(jnp.asarray(x)))
+    clf = model.classifier("Disc1")
+    pred = np.asarray(clf.regression(jnp.asarray(feats[:, :clf.input_dim])))
+    centered = pred[cls <= 1]
+    background = pred[cls == 9]
+    assert centered.mean() + 0.15 < background.mean()
+
+
+def test_detects_rendered_face(trained_dir):
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
+    from pyfaceanalysis_tpu.engine.nms import relative_eye_error_np
+    from pyfaceanalysis_tpu.training import synth
+
+    model = DetectionModel.load(trained_dir)
+    det = FaceDetector(model, DetectorConfig(smallest_face=0.25))
+    img, attrs = synth.render_face(jax.random.PRNGKey(1234),
+                                   canvas_hw=(280, 280), face_size=100.0,
+                                   center=(140.0, 140.0))
+    out = det.detect(np.asarray(img), estimate_attributes=False)
+    true_eyes = np.concatenate([np.asarray(attrs["eye_l"]),
+                                np.asarray(attrs["eye_r"])])
+    errs = [relative_eye_error_np(np.array([*d.eye_left, *d.eye_right]),
+                                  true_eyes) for d in out]
+    assert errs and min(errs) < 0.25, f"no acceptable detection: {errs}"
