@@ -36,6 +36,7 @@ def save_network(path: str, net: HierarchicalNetwork) -> None:
             "out_dim": spec.out_dim,
             "node": spec.node,
             "slow_dim": spec.slow_dim,
+            "clip": spec.clip,
         })
     arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -50,7 +51,8 @@ def load_network(path: str) -> HierarchicalNetwork:
         specs.append(LayerSpec(
             tuple(tuple(int(v) for v in row) for row in idx),
             Expansion(lm["expansion"], lm.get("exponent", 0.8)),
-            lm["out_dim"], node=lm["node"], slow_dim=lm.get("slow_dim")))
+            lm["out_dim"], node=lm["node"], slow_dim=lm.get("slow_dim"),
+            clip=lm.get("clip", 4.0)))
         params.append(LinearNode(jnp.asarray(z[f"mean_{i}"]),
                                  jnp.asarray(z[f"W_{i}"])))
     return HierarchicalNetwork(tuple(specs), params,

@@ -128,13 +128,23 @@ def _merge_schedule(gy: int, gx: int, d: int, top_dim: int
 
 
 def build_pca_net(input_side: int = 96, base_field: int = 6,
-                  d: int = 13, top_dim: int = 20) -> HierarchicalNetwork:
-    """Linear hierarchical PCA topology (the age/race/gender feature net)."""
+                  d: int = 13, top_dim: int = 20,
+                  node: str = "pca") -> HierarchicalNetwork:
+    """Linear hierarchical topology (the age/race/gender feature net).
+
+    ``node="pca"`` reproduces the reference's "linearPCANetworkU11L"
+    variance-preserving behavior; ``node="sfa"`` keeps the same linear wiring
+    but trains each layer with label-graph GSFA (LDA-like discriminative
+    directions), which extracts attribute signals PCA buries.
+    """
     gy = gx = input_side // base_field
     specs: List[LayerSpec] = []
+    # PCA outputs are not whitened (variance = eigenvalue) -> no clipping;
+    # GSFA outputs are whitened -> standard 4-sigma clip.
+    clip = None if node == "pca" else 4.0
     specs.append(LayerSpec(
         _as_tuple(_tile_indices(input_side, input_side, base_field, base_field)),
-        Expansion("identity"), d, node="pca"))
+        Expansion("identity"), d, node=node, clip=clip))
     dims = _merge_schedule(gy, gx, d, top_dim)
     prev_d = d
     for (axis, out_d) in dims:
@@ -145,6 +155,6 @@ def build_pca_net(input_side: int = 96, base_field: int = 6,
             gy //= 2
         out_d = min(out_d, 2 * prev_d)      # linear layer: at most its input
         specs.append(LayerSpec(_as_tuple(idx), Expansion("identity"),
-                               out_d, node="pca"))
+                               out_d, node=node, clip=clip))
         prev_d = out_d
     return HierarchicalNetwork(tuple(specs), [], (input_side, input_side))

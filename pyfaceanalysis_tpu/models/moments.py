@@ -87,7 +87,7 @@ def clustered_scatter(xc: jax.Array, onehot: jax.Array,
 
 
 def gsfa_moments(x_dev: jax.Array, graph: str, labels=None,
-                 num_groups: int = 50):
+                 num_groups: int = 50, label_weights=None):
     """Device moments (mean (F,D), B (F,D,D), A (F,D,D)) -- all stay on
     device; labels (tiny, host) drive the graph structure.
 
@@ -107,13 +107,15 @@ def gsfa_moments(x_dev: jax.Array, graph: str, labels=None,
         lab = np.asarray(labels)
         if lab.ndim == 1:
             lab = lab[:, None]
+        w = (np.ones(lab.shape[1]) if label_weights is None
+             else np.asarray(label_weights, np.float64))
         A = None
         for k in range(lab.shape[1]):
             order = np.argsort(lab[:, k], kind="stable")
-            Ak = serial_scatter(jnp.take(xc, jnp.asarray(order), axis=0),
-                                num_groups)
+            Ak = w[k] * serial_scatter(
+                jnp.take(xc, jnp.asarray(order), axis=0), num_groups)
             A = Ak if A is None else A + Ak
-        A = A / lab.shape[1]
+        A = A / w.sum()
     elif graph == "clustered":
         lab = np.asarray(labels)
         classes, dense = np.unique(lab, return_inverse=True)
@@ -126,7 +128,7 @@ def gsfa_moments(x_dev: jax.Array, graph: str, labels=None,
 
 @partial(jax.jit, static_argnames=("out_dim",))
 def solve_gsfa_device(A: jax.Array, B: jax.Array, out_dim: int,
-                      reg: float = 1e-6) -> jax.Array:
+                      reg: float = 1e-4) -> jax.Array:
     """Batched on-device generalized eigensolve: smallest ``out_dim``
     eigenvectors of A w = lambda B w per field. float32 with relative
     Tikhonov regularization of B; only the (F, D, out_dim) result ever
@@ -140,9 +142,11 @@ def solve_gsfa_device(A: jax.Array, B: jax.Array, out_dim: int,
     # Rank control with static shapes: near-zero-variance directions are
     # zeroed in the whitener AND penalized in M (a zero row would otherwise
     # read as eigenvalue 0 = "perfectly slow" and hijack the solution).
-    # The cut must sit well above float32 eigh noise (~1e-6 relative):
-    # directions below 1e-4 of the top variance are numerical null space.
-    bad = evals <= 1e-4 * evals.max(axis=-1, keepdims=True)
+    # The cut must sit well above float32 eigh noise (~1e-6 relative), and
+    # high enough that whitening gains stay bounded (directions below 1e-3
+    # of the top variance would get >30x amplification and generalize
+    # poorly through the downstream nonlinear expansions).
+    bad = evals <= 1e-3 * evals.max(axis=-1, keepdims=True)
     inv_sqrt = jnp.where(bad, 0.0,
                          1.0 / jnp.sqrt(jnp.maximum(evals, 1e-12)))
     wh = evecs * inv_sqrt[:, None, :]

@@ -44,6 +44,12 @@ class LayerSpec:
     out_dim: int
     node: str = "sfa"
     slow_dim: Optional[int] = None      # for igsfa: slow features kept
+    # Post-projection clipping (in output-std units; outputs are whitened to
+    # unit variance by the solver). Without it, whitened near-null directions
+    # drift off-manifold at inference and the per-layer nonlinear expansions
+    # compound the blow-up exponentially -- the same reason the reference's
+    # MDP networks interleave clipping nodes. None disables.
+    clip: Optional[float] = 4.0
 
     @property
     def num_fields(self) -> int:
@@ -88,6 +94,8 @@ def apply_layer(spec: LayerSpec, node: LinearNode, x: jax.Array) -> jax.Array:
     fields = jnp.take(x, idx, axis=1)            # (B, F, k)
     expanded = spec.expansion(fields)            # (B, F, k_exp)
     y = node(expanded)                           # (B, F, d)
+    if spec.clip is not None:
+        y = jnp.clip(y, -spec.clip, spec.clip)
     return y.reshape(y.shape[0], -1)
 
 

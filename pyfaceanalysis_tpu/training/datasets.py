@@ -32,16 +32,23 @@ from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
 from pyfaceanalysis_tpu.ops.patches import extract_centered_patch, extract_patches_rotate
 from pyfaceanalysis_tpu.training import synth
 
-CANVAS = (144, 144)
-FACE_SIZE = 56.0
+CANVAS = (240, 240)
+# Face sizes are RANDOMIZED per canvas: with a fixed size, patch-resampling
+# blur correlates perfectly with the scale label and the nets latch onto it,
+# which does not generalize to faces of other sizes.
+FACE_SIZE_RANGE = (40.0, 110.0)
 
 
-def _render_batch(key, n, with_face=True, canvas=CANVAS, face_size=FACE_SIZE):
-    keys = jax.random.split(key, n)
-    fn = jax.vmap(lambda k: synth.render_face(k, canvas_hw=canvas,
-                                              face_size=face_size,
-                                              with_face=with_face))
-    return jax.jit(fn)(keys)
+def _render_batch(key, n, with_face=True, canvas=CANVAS,
+                  face_size_range=FACE_SIZE_RANGE):
+    k_keys, k_size = jax.random.split(key)
+    keys = jax.random.split(k_keys, n)
+    sizes = jax.random.uniform(k_size, (n,), minval=face_size_range[0],
+                               maxval=face_size_range[1])
+    fn = jax.vmap(lambda k, fs: synth.render_face(k, canvas_hw=canvas,
+                                                  face_size=fs,
+                                                  with_face=with_face))
+    return jax.jit(fn)(keys, sizes)
 
 
 def _boxes_from_centers(cx, cy, side):
@@ -145,7 +152,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     kb1, kb2, kb3 = jax.random.split(k_bg, 3)
     nb = bg_imgs.shape[0]
     per = -(-n_bg // nb)
-    side = jax.random.uniform(kb1, (nb, per), minval=24.0, maxval=100.0)
+    side = jax.random.uniform(kb1, (nb, per), minval=24.0,
+                              maxval=CANVAS[0] * 0.7)
     bcx = jax.random.uniform(kb2, (nb, per), minval=40.0, maxval=CANVAS[1] - 40.0)
     bcy = jax.random.uniform(kb3, (nb, per), minval=40.0, maxval=CANVAS[0] - 40.0)
     bg_boxes = _boxes_from_centers(bcx, bcy, side)

@@ -85,9 +85,10 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     u = (c * dx + s * dy) / F
     v = (-s * dx + c * dy) / F
 
-    # Head ellipse; age elongates, male faces are slightly wider.
+    # Head ellipse; age elongates (a strong global cue the linear age net
+    # can pick up), male faces are slightly wider.
     ax = 0.335 * (1.0 + 0.05 * (gender < 0))
-    ay = 0.465 * (1.0 + 0.05 * a_norm)
+    ay = 0.465 * (1.0 + 0.10 * a_norm)
     e = (u / ax) ** 2 + ((v + 0.02) / ay) ** 2
     head = jax.nn.sigmoid((1.0 - e) / 0.045)
 
@@ -110,8 +111,10 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     feats -= 0.12 * blob(0.0, 0.05, 0.028, 0.105)   # nose shading
     feats += 0.10 * blob(0.0, -0.30, 0.22, 0.10)    # forehead highlight
 
-    # Age wrinkles: high-frequency texture whose amplitude grows with age.
-    wr_amp = 0.05 * jnp.clip(a_norm + 1.0, 0.0, 2.0) / 2.0
+    # Age wrinkles: high-frequency texture whose amplitude grows with age;
+    # feature contrast also fades slightly with age (a global cue).
+    feats = feats * (1.0 - 0.12 * jnp.clip(a_norm, -1.0, 1.0))
+    wr_amp = 0.09 * jnp.clip(a_norm + 1.0, 0.0, 2.0) / 2.0
     phase = jax.random.uniform(ks[8], (), maxval=6.28)
     feats += wr_amp * jnp.sin(v * 55.0 + phase) * blob(0.0, -0.25, 0.25, 0.12)
     feats += wr_amp * jnp.sin(u * 48.0 + phase) * (

@@ -53,8 +53,8 @@ def _apply(spec, node, x):
 def train_network(net: HierarchicalNetwork, x: np.ndarray,
                   graph: str = "temporal",
                   labels: Optional[np.ndarray] = None,
-                  num_groups: int = 50, verbose: bool = True
-                  ) -> HierarchicalNetwork:
+                  num_groups: int = 50, verbose: bool = True,
+                  label_weights=None) -> HierarchicalNetwork:
     """Trains all layers of ``net`` on (N, D_in) data with one shared graph.
 
     Data lives on device throughout; each layer costs one gather+expand and
@@ -75,7 +75,8 @@ def train_network(net: HierarchicalNetwork, x: np.ndarray,
             W = moments.solve_pca_device(B, spec.out_dim)
         else:
             mean, B, A = moments.gsfa_moments(inp, graph, labels=labels,
-                                              num_groups=num_groups)
+                                              num_groups=num_groups,
+                                              label_weights=label_weights)
             W = moments.solve_gsfa_device(A, B, spec.out_dim)
         node = LinearNode(mean, W)
         params.append(node)
@@ -205,11 +206,14 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         net = builder.build_higsfa(64, top_dim=cfg.top_dim)
         log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
         # Combined 4-label serial graph: features must encode ALL pose
-        # parameters (dx, dy, angle, scale), not per-face identity.
+        # parameters (dx, dy, angle, scale), not per-face identity. Angle
+        # and scale carry subtler appearance cues, so their graphs get
+        # extra weight.
         lab4 = np.stack([labels["dx"], labels["dy"], labels["ang"],
                          labels["scale"]], axis=1)
         net = train_network(net, x, graph="serial", labels=lab4,
-                            num_groups=cfg.pose_classes, verbose=verbose)
+                            num_groups=cfg.pose_classes, verbose=verbose,
+                            label_weights=(1.0, 1.0, 2.0, 2.0))
         nets[name] = net
         feats = _execute(net, x)
         it = "0" if name.endswith("0") else "1"
@@ -261,8 +265,13 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     # --- age/race/gender net -------------------------------------------------
     log("[train] net_age: rendering Z-frame faces...")
     x, labels = datasets.age_dataset(keys[5], cfg.age_samples)
-    net = builder.build_pca_net(96, top_dim=cfg.top_dim)
-    net = train_network(net, x, graph="temporal", verbose=verbose)
+    # Linear wiring like the reference's linearPCANetworkU11L, but trained
+    # with a 3-label serial graph (age, race, gender) so the shared feature
+    # space is attribute-discriminative, not merely variance-preserving.
+    net = builder.build_pca_net(96, top_dim=cfg.top_dim, node="sfa")
+    lab3 = np.stack([labels["age"], labels["race"], labels["gender"]], axis=1)
+    net = train_network(net, x, graph="serial", labels=lab3,
+                        num_groups=20, verbose=verbose)
     nets["net_age"] = net
     feats = _execute(net, x)
     clfs["clf_Age"] = fit_regressor_bins(feats, labels["age"], 4,
