@@ -29,6 +29,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="tiny sizes for smoke testing")
     p.add_argument("--no_final_disc", action="store_true",
                    help="share one discriminator for all Disc stages")
+    p.add_argument("--reuse", default="",
+                   help="comma-separated net-name substrings to load from "
+                        "out_dir instead of retraining (e.g. 'pose,eye')")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
@@ -48,7 +51,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                           age_samples=args.age_samples, seed=args.seed,
                           train_final_disc=not args.no_final_disc)
     t0 = time.time()
-    train_pipeline(args.out_dir, cfg)
+    reuse = tuple(s for s in args.reuse.split(",") if s)
+    train_pipeline(args.out_dir, cfg, reuse=reuse)
     print(f"training finished in {time.time() - t0:.1f}s -> {args.out_dir}")
     return 0
 

@@ -71,6 +71,7 @@ class DetectionModel:
         self.spec = spec
         self.nets = nets
         self.classifiers = classifiers          # one per stage
+        self.calibration = {}
         det_stages = spec.detection_stages
         # Unique detection networks in first-use order.
         names = []
@@ -121,6 +122,7 @@ class DetectionModel:
             "net_age", nets[spec.stages[model.stage("Age")].network_name])
         model.nets.setdefault(
             "net_eye", nets[spec.stages[model.stage("EyeLX")].network_name])
+        model.calibration = artifacts.load_calibration(artifact_dir)
         return model
 
 
@@ -179,6 +181,13 @@ class FaceDetector:
 
     def __init__(self, model: DetectionModel,
                  config: DetectorConfig = DetectorConfig()):
+        # Apply the model's calibrated final cutoff unless the user set one
+        # explicitly (trainer calibration; see trainer.train_pipeline).
+        calib = getattr(model, "calibration", {}) or {}
+        if (config.last_cut_off_face < 0
+                and "last_cut_off_face" in calib):
+            config = dataclasses.replace(
+                config, last_cut_off_face=float(calib["last_cut_off_face"]))
         self.model = model
         self.config = config
         self.face_has_been_found = False

@@ -79,14 +79,24 @@ def load_classifier(path: str) -> GaussianRegressor:
                              jnp.asarray(z["avg_labels"]))
 
 
-def save_manifest(dirpath: str, face_geom, eye_geom, age_geom) -> None:
+def save_manifest(dirpath: str, face_geom, eye_geom, age_geom,
+                  calibration: dict = None) -> None:
     import dataclasses
     with open(os.path.join(dirpath, "manifest.json"), "w") as f:
         json.dump({
             "face_geom": dataclasses.asdict(face_geom),
             "eye_geom": dataclasses.asdict(eye_geom),
             "age_geom": dataclasses.asdict(age_geom),
+            "calibration": calibration or {},
         }, f, indent=2)
+
+
+def load_calibration(dirpath: str) -> dict:
+    path = os.path.join(dirpath, "manifest.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f).get("calibration", {})
 
 
 def load_manifest(dirpath: str) -> Tuple:

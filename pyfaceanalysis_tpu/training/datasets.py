@@ -130,8 +130,12 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     frac = (cls + jax.random.uniform(k_mag, (M, T))) / (num_classes - 1)
     frac = jnp.clip(frac, 0.0, 1.0)
     d = jax.random.uniform(k_dir, (4, M, T), minval=-1.0, maxval=1.0)
-    # Perturbation budget beyond the pose envelope (FaceCentering2 used
-    # Dx 48 / Dy 24 -- wider than the refinement nets).
+    # All perturbation dimensions scale TOGETHER with the class fraction
+    # (visually coherent quality grades). Budget beyond the pose envelope
+    # (FaceCentering2 used Dx 48 / Dy 24 -- wider than the refinement nets).
+    # The absolute meaning of the final Disc cutoff is model-dependent, so
+    # the trainer CALIBRATES it against converged-residual patches rather
+    # than assuming the reference's 0.05 transfers.
     dx = 48.0 * frac * jnp.sign(d[0]) * (0.35 + 0.65 * jnp.abs(d[0]))
     dy = 24.0 * frac * jnp.sign(d[1]) * (0.35 + 0.65 * jnp.abs(d[1]))
     ang = 27.0 * frac * d[2]
@@ -165,6 +169,32 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                               np.full(nb * per, num_classes - 1, np.int64)])
     avg_labels = np.linspace(0.0, 1.0, num_classes)
     return all_patches, all_cls, avg_labels
+
+
+def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                     dx_r: float = 2.5, dy_r: float = 3.0, ang_r: float = 8.0,
+                     logscale_r: float = 0.10):
+    """Patches perturbed like POST-REFINEMENT residuals on true faces --
+    used to calibrate the final Disc cutoff (trainer.calibrate_cutoff)."""
+    k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
+    imgs, attrs = _render_batch(k_face, num_faces)
+    F = attrs["face_size"]
+    fc_x = (attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+    fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
+            + attrs["mouth"][:, 1]) / 2.0
+    M, T = num_faces, steps
+    dx = jax.random.uniform(k_dx, (M, T), minval=-dx_r, maxval=dx_r)
+    dy = jax.random.uniform(k_dy, (M, T), minval=-dy_r, maxval=dy_r)
+    ang = jax.random.uniform(k_ang, (M, T), minval=-ang_r, maxval=ang_r)
+    smp = DESIRED_SAMPLING * jnp.exp(
+        jax.random.uniform(k_s, (M, T), minval=-logscale_r,
+                           maxval=logscale_r))
+    b = smp * F[:, None] / DESIRED_SAMPLING
+    cx = fc_x[:, None] + dx * b / geom.regression_width
+    cy = fc_y[:, None] + dy * b / geom.regression_height
+    boxes = _boxes_from_centers(cx, cy, b)
+    patches = _extract_batch(imgs, boxes, -ang)
+    return jnp.reshape(patches, (M * T, -1))
 
 
 def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry

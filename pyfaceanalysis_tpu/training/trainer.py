@@ -178,9 +178,19 @@ _STAGE_LAYOUT = [
 
 def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                    face_geom: NetGeometry = NetGeometry(),
-                   verbose: bool = True) -> None:
-    """Trains every network/classifier and writes the artifact directory."""
+                   verbose: bool = True, reuse: Sequence[str] = ()) -> None:
+    """Trains every network/classifier and writes the artifact directory.
+
+    ``reuse``: substrings of network names to LOAD from ``out_dir`` instead
+    of retraining (e.g. ("pose", "eye") retrains only disc/age) -- the
+    incremental iteration loop for model-quality work.
+    """
     os.makedirs(out_dir, exist_ok=True)
+
+    def _reusable(name):
+        return any(r in name for r in reuse) and os.path.exists(
+            os.path.join(out_dir, name + ".npz"))
+
     key = jax.random.PRNGKey(cfg.seed)
     keys = jax.random.split(key, 8)
     eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
@@ -196,9 +206,22 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         if verbose:
             print(msg, flush=True)
 
+    def _load_reused(name, clf_names):
+        nets[name] = artifacts.load_network(
+            os.path.join(out_dir, name + ".npz"))
+        for c in clf_names:
+            clfs[c] = artifacts.load_classifier(
+                os.path.join(out_dir, c + ".npz"))
+        log(f"[train] {name}: reused existing artifacts")
+
     # --- pose nets (iter0: wide ranges; iter1: narrow, shared by iter2) ----
     for name, ranges, kidx in [("net_pose0", (40.0, 20.0, 22.5), 0),
                                ("net_pose1", (14.0, 13.0, 21.0), 1)]:
+        it = "0" if name.endswith("0") else "1"
+        if _reusable(name):
+            _load_reused(name, [f"clf_{k}{it}" for k in
+                                ("PosX", "PosY", "PAng", "Scale")])
+            continue
         log(f"[train] {name}: rendering pose walks...")
         x, labels = datasets.pose_dataset(keys[kidx], cfg.num_faces,
                                           cfg.steps_per_face, face_geom,
@@ -216,7 +239,6 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                             label_weights=(1.0, 1.0, 2.0, 2.0))
         nets[name] = net
         feats = _execute(net, x)
-        it = "0" if name.endswith("0") else "1"
         for lab_name, stage, dim in [("dx", f"PosX{it}", 10 if it == "0" else 20),
                                      ("dy", f"PosY{it}", 20),
                                      ("ang", f"PAng{it}", 20),
@@ -231,6 +253,10 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     disc_names = ["net_disc"] + (["net_disc_final"] if cfg.train_final_disc
                                  else [])
     for i, name in enumerate(disc_names):
+        cname = "clf_Disc1" if name == "net_disc" else "clf_Disc9"
+        if _reusable(name):
+            _load_reused(name, [cname])
+            continue
         log(f"[train] {name}: rendering graded centering classes...")
         x, cls, avg = datasets.disc_dataset(keys[2 + i], cfg.disc_faces,
                                             cfg.disc_steps, face_geom)
@@ -239,7 +265,6 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                             verbose=verbose)
         nets[name] = net
         feats = _execute(net, x)
-        cname = "clf_Disc1" if name == "net_disc" else "clf_Disc9"
         clfs[cname] = fit_regressor_classes(feats, cls, avg, input_dim=9)
         log(f"[train] {name}: done")
     if not cfg.train_final_disc:
@@ -247,40 +272,67 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         clfs["clf_Disc9"] = clfs["clf_Disc1"]
 
     # --- eye net ------------------------------------------------------------
-    log("[train] net_eye: rendering eye walks...")
-    x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces, cfg.eye_steps,
-                                     eye_geom)
-    net = builder.build_higsfa(64, top_dim=cfg.top_dim)
-    lab2 = np.stack([labels["x"], labels["y"]], axis=1)
-    net = train_network(net, x, graph="serial", labels=lab2,
-                        num_groups=cfg.pose_classes, verbose=verbose)
-    nets["net_eye"] = net
-    feats = _execute(net, x)
-    clfs["clf_EyeLX"] = fit_regressor_bins(feats, labels["x"], 12,
-                                           cfg.pose_classes)
-    clfs["clf_EyeLY"] = fit_regressor_bins(feats, labels["y"], 10,
-                                           cfg.pose_classes)
-    log("[train] net_eye: done")
+    if _reusable("net_eye"):
+        _load_reused("net_eye", ["clf_EyeLX", "clf_EyeLY"])
+    else:
+        log("[train] net_eye: rendering eye walks...")
+        x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces,
+                                         cfg.eye_steps, eye_geom)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        lab2 = np.stack([labels["x"], labels["y"]], axis=1)
+        net = train_network(net, x, graph="serial", labels=lab2,
+                            num_groups=cfg.pose_classes, verbose=verbose)
+        nets["net_eye"] = net
+        feats = _execute(net, x)
+        clfs["clf_EyeLX"] = fit_regressor_bins(feats, labels["x"], 12,
+                                               cfg.pose_classes)
+        clfs["clf_EyeLY"] = fit_regressor_bins(feats, labels["y"], 10,
+                                               cfg.pose_classes)
+        log("[train] net_eye: done")
 
     # --- age/race/gender net -------------------------------------------------
-    log("[train] net_age: rendering Z-frame faces...")
-    x, labels = datasets.age_dataset(keys[5], cfg.age_samples)
-    # Linear wiring like the reference's linearPCANetworkU11L, but trained
-    # with a 3-label serial graph (age, race, gender) so the shared feature
-    # space is attribute-discriminative, not merely variance-preserving.
-    net = builder.build_pca_net(96, top_dim=cfg.top_dim, node="sfa")
-    lab3 = np.stack([labels["age"], labels["race"], labels["gender"]], axis=1)
-    net = train_network(net, x, graph="serial", labels=lab3,
-                        num_groups=20, verbose=verbose)
-    nets["net_age"] = net
-    feats = _execute(net, x)
-    clfs["clf_Age"] = fit_regressor_bins(feats, labels["age"], 4,
-                                         num_classes=39)
-    clfs["clf_Race"] = fit_regressor_classes(
-        feats, (labels["race"] > 0).astype(int), np.array([-2.0, 2.0]), 5)
-    clfs["clf_Gender"] = fit_regressor_classes(
-        feats, (labels["gender"] > 0).astype(int), np.array([-1.0, 1.0]), 5)
-    log("[train] net_age: done")
+    if _reusable("net_age"):
+        _load_reused("net_age", ["clf_Age", "clf_Race", "clf_Gender"])
+    else:
+        log("[train] net_age: rendering Z-frame faces...")
+        x, labels = datasets.age_dataset(keys[5], cfg.age_samples)
+        # Linear wiring like the reference's linearPCANetworkU11L, but
+        # trained with a 3-label serial graph (age, race, gender) so the
+        # shared feature space is attribute-discriminative, not merely
+        # variance-preserving.
+        net = builder.build_pca_net(96, top_dim=cfg.top_dim, node="sfa")
+        lab3 = np.stack([labels["age"], labels["race"], labels["gender"]],
+                        axis=1)
+        net = train_network(net, x, graph="serial", labels=lab3,
+                            num_groups=20, verbose=verbose)
+        nets["net_age"] = net
+        feats = _execute(net, x)
+        clfs["clf_Age"] = fit_regressor_bins(feats, labels["age"], 4,
+                                             num_classes=39)
+        clfs["clf_Race"] = fit_regressor_classes(
+            feats, (labels["race"] > 0).astype(int), np.array([-2.0, 2.0]), 5)
+        clfs["clf_Gender"] = fit_regressor_classes(
+            feats, (labels["gender"] > 0).astype(int),
+            np.array([-1.0, 1.0]), 5)
+        log("[train] net_age: done")
+
+    # --- calibrate the final Disc cutoff --------------------------------------
+    # The reference ships cut_offs_face tuned to ITS discriminators
+    # (FaceDetectUpdated.py:98); the absolute output scale of a freshly
+    # trained Gaussian soft-classifier differs, so the last (strictest) gate
+    # is calibrated: accept the 90th percentile of disc outputs on
+    # converged-residual face patches, provided background stays far above.
+    log("[train] calibrating final Disc cutoff...")
+    res = datasets.residual_dataset(keys[6], max(cfg.disc_faces // 2, 8), 20,
+                                    face_geom)
+    net9 = nets["net_disc_final"]
+    feats = _execute(net9, res)
+    clf9 = clfs["clf_Disc9"]
+    vals = np.asarray(clf9.regression(
+        jnp.asarray(feats[:, :clf9.means.shape[1]])))
+    last_cut = float(min(max(np.quantile(vals, 0.90) * 1.15, 0.02), 0.9))
+    log(f"[train] residual disc outputs: median={np.median(vals):.3f} "
+        f"q90={np.quantile(vals, 0.90):.3f} -> last_cut_off={last_cut:.3f}")
 
     # --- write artifacts ------------------------------------------------------
     for name, net in nets.items():
@@ -291,5 +343,6 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
     spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
     write_pipeline(os.path.join(out_dir, "Pipeline_tpu.txt"), spec)
-    artifacts.save_manifest(out_dir, face_geom, eye_geom, age_geom)
+    artifacts.save_manifest(out_dir, face_geom, eye_geom, age_geom,
+                            calibration={"last_cut_off_face": last_cut})
     log(f"[train] wrote pipeline artifacts to {out_dir}")
