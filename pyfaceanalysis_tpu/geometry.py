@@ -83,16 +83,16 @@ def compute_approximate_eye_boxes_coordinates(boxes, angles=None,
 
     rad = angles * jnp.pi / 180.0
     c, s = jnp.cos(rad), jnp.sin(rad)
-    # face_analysis.py:114-122
-    er_dx = eye_dx * c - eye_dy * s
-    er_dy = eye_dy * c + eye_dx * s
-    el_dx = -eye_dx * c - eye_dy * s
-    el_dy = eye_dy * c - eye_dx * s
-
-    el_x = fc_x + el_dx
-    er_x = fc_x + er_dx
-    el_y = fc_y - el_dy
-    er_y = fc_y - er_dy
+    # Eyes sit at face-local (-+eye_dx, -eye_dy) rotated into the image by
+    # R(angle) = [[c, -s], [s, c]] (y down) -- THE SAME rotation the patch
+    # extractor (ops.patches) and the face renderer use. The reference's
+    # formulas (face_analysis.py:114-122) use the opposite angle sign
+    # because its extractor is called with -angles; porting them verbatim
+    # put the eye boxes on the wrong side for rotated faces.
+    el_x = fc_x - c * eye_dx + s * eye_dy
+    el_y = fc_y - s * eye_dx - c * eye_dy
+    er_x = fc_x + c * eye_dx + s * eye_dy
+    er_y = fc_y + s * eye_dx - c * eye_dy
 
     eye_coords = jnp.stack([el_x, el_y, er_x, er_y], axis=-1)
     left_boxes = jnp.stack([el_x - box_w / 2, el_y - box_h / 2,

@@ -40,15 +40,21 @@ FACE_SIZE_RANGE = (40.0, 110.0)
 
 
 def _render_batch(key, n, with_face=True, canvas=CANVAS,
-                  face_size_range=FACE_SIZE_RANGE):
-    k_keys, k_size = jax.random.split(key)
+                  face_size_range=FACE_SIZE_RANGE, angle_range=0.0):
+    """Renders n canvases with randomized face size and (optionally)
+    in-plane face angle. Detection-time rotation lives in the FACE (about
+    the face center), not only in the extraction grid (about the box
+    center), so rotation-robust stages must train on rotated renders."""
+    k_keys, k_size, k_ang = jax.random.split(key, 3)
     keys = jax.random.split(k_keys, n)
     sizes = jax.random.uniform(k_size, (n,), minval=face_size_range[0],
                                maxval=face_size_range[1])
-    fn = jax.vmap(lambda k, fs: synth.render_face(k, canvas_hw=canvas,
-                                                  face_size=fs,
-                                                  with_face=with_face))
-    return jax.jit(fn)(keys, sizes)
+    angles = jax.random.uniform(k_ang, (n,), minval=-angle_range,
+                                maxval=angle_range)
+    fn = jax.vmap(lambda k, fs, ad: synth.render_face(
+        k, canvas_hw=canvas, face_size=fs, angle_deg=ad,
+        with_face=with_face))
+    return jax.jit(fn)(keys, sizes, angles)
 
 
 def _boxes_from_centers(cx, cy, side):
@@ -72,10 +78,13 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     segment over (dx, dy, angle, sampling).
     """
     k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
-    imgs, attrs = _render_batch(k_face, num_faces)
+    # Faces render at random in-plane angles: detection-time rotation lives
+    # in the face, not only in the sampling grid.
+    imgs, attrs = _render_batch(k_face, num_faces, angle_range=ang_range)
     F = attrs["face_size"]                                       # (M,)
-    fc_x = (attrs["eye_l"][:, 0] + attrs["mouth"][:, 0] * 0.0
-            + attrs["eye_r"][:, 0]) / 2.0
+    theta = attrs["angle"]                                       # (M,)
+    fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+            + attrs["mouth"][:, 0]) / 2.0
     fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
             + attrs["mouth"][:, 1]) / 2.0
 
@@ -92,10 +101,20 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     # (face_analysis.py:820-833) maps the box onto the face size F exactly
     # when reg = 0.825 * b / F, so label smp <=> box side b = smp * F / 0.825.
     b = smp * F[:, None] / DESIRED_SAMPLING                      # box side px
-    cx = fc_x[:, None] + dx * b / geom.regression_width
-    cy = fc_y[:, None] + dy * b / geom.regression_height
+    # Extraction happens at the current ANGLE ESTIMATE a = theta - ang, so
+    # the net sees a residual rotation of ``ang`` (the PAng label). Position
+    # labels are PATCH-frame offsets: the box center is displaced by
+    # R(a) . (dx, dy) in image coordinates (R(a) = the sampling rotation of
+    # ops.patches.extract_patches_rotate), which the net observes as a
+    # +(dx, dy) patch-frame offset for ANY a.
+    a = theta[:, None] - ang                                     # (M, T)
+    rad = jnp.deg2rad(a)
+    off_x = dx * b / geom.regression_width
+    off_y = dy * b / geom.regression_height
+    cx = fc_x[:, None] + jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
+    cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)                       # (M, T, 4)
-    patches = _extract_batch(imgs, boxes, -ang)                  # (M,T,64,64)
+    patches = _extract_batch(imgs, boxes, a)                     # (M,T,64,64)
 
     N = num_faces * steps
     labels = {
@@ -119,9 +138,11 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     (patches (N, 4096), class_ids (N,), avg_labels (C,) = linspace(0, 1, C)).
     """
     k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
-    imgs, attrs = _render_batch(k_face, num_faces)
+    imgs, attrs = _render_batch(k_face, num_faces, angle_range=22.5)
     F = attrs["face_size"]
-    fc_x = (attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+    theta = attrs["angle"]
+    fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+            + attrs["mouth"][:, 0]) / 2.0
     fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
             + attrs["mouth"][:, 1]) / 2.0
 
@@ -144,10 +165,14 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                                      * (0.3 + 0.7 * jnp.abs(d[3])))
 
     b = smp * F[:, None] / DESIRED_SAMPLING
-    cx = fc_x[:, None] + dx * b / geom.regression_width
-    cy = fc_y[:, None] + dy * b / geom.regression_height
+    a = theta[:, None] - ang              # extraction = angle estimate
+    rad = jnp.deg2rad(a)
+    off_x = dx * b / geom.regression_width
+    off_y = dy * b / geom.regression_height
+    cx = fc_x[:, None] + jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
+    cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
-    patches = jnp.reshape(_extract_batch(imgs, boxes, -ang), (M * T, -1))
+    patches = jnp.reshape(_extract_batch(imgs, boxes, a), (M * T, -1))
     cls = np.asarray(cls).reshape(-1)
 
     # Background class: patches from face-free canvases at random scales.
@@ -177,9 +202,11 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     """Patches perturbed like POST-REFINEMENT residuals on true faces --
     used to calibrate the final Disc cutoff (trainer.calibrate_cutoff)."""
     k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
-    imgs, attrs = _render_batch(k_face, num_faces)
+    imgs, attrs = _render_batch(k_face, num_faces, angle_range=20.0)
     F = attrs["face_size"]
-    fc_x = (attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+    theta = attrs["angle"]
+    fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
+            + attrs["mouth"][:, 0]) / 2.0
     fc_y = ((attrs["eye_l"][:, 1] + attrs["eye_r"][:, 1]) / 2.0
             + attrs["mouth"][:, 1]) / 2.0
     M, T = num_faces, steps
@@ -190,10 +217,14 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
         jax.random.uniform(k_s, (M, T), minval=-logscale_r,
                            maxval=logscale_r))
     b = smp * F[:, None] / DESIRED_SAMPLING
-    cx = fc_x[:, None] + dx * b / geom.regression_width
-    cy = fc_y[:, None] + dy * b / geom.regression_height
+    a = theta[:, None] - ang
+    rad = jnp.deg2rad(a)
+    off_x = dx * b / geom.regression_width
+    off_y = dy * b / geom.regression_height
+    cx = fc_x[:, None] + jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
+    cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
-    patches = _extract_batch(imgs, boxes, -ang)
+    patches = _extract_batch(imgs, boxes, a)
     return jnp.reshape(patches, (M * T, -1))
 
 
@@ -207,8 +238,9 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
     label measures (box_center - eye) rotated into the patch frame.
     """
     k_face, k_dx, k_dy, k_ang, k_w, k_lr = jax.random.split(key, 6)
-    imgs, attrs = _render_batch(k_face, num_faces)
+    imgs, attrs = _render_batch(k_face, num_faces, angle_range=20.0)
     F = attrs["face_size"]
+    theta = attrs["angle"]
     M, T = num_faces, steps
 
     # Nominal eye-box width from the detection geometry: for box side b = F,
@@ -223,19 +255,22 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
 
     lab_x = jax.random.uniform(k_dx, (M, T), minval=-10.0, maxval=10.0)
     lab_y = jax.random.uniform(k_dy, (M, T), minval=-10.0, maxval=10.0)
-    ang = jax.random.uniform(k_ang, (M, T), minval=-8.0, maxval=8.0)
+    # Extraction happens at the detector's face-angle estimate: true face
+    # angle plus residual estimation error.
+    err = jax.random.uniform(k_ang, (M, T), minval=-8.0, maxval=8.0)
+    est = theta[:, None] + err
 
-    # box_center = eye + R(-ang) . (label/2.3719) * box_w / 64   (patch frame
-    # -> image frame; engine.eyes applies the inverse).
+    # box_center = eye + R(-est) . (label/2.3719) * box_w / 64 -- the same
+    # rotation engine.eyes applies when shifting boxes (roundtrip-tested).
     off_x = lab_x / EYE_SAMPLING * box_w / 64.0
     off_y = lab_y / EYE_SAMPLING * box_w / 64.0
-    rad = jnp.deg2rad(-ang)
+    rad = jnp.deg2rad(-est)
     cxo = jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
     cyo = jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     cx = eye[:, 0:1] + cxo
     cy = eye[:, 1:2] + cyo
     boxes = _boxes_from_centers(cx, cy, box_w * jnp.ones_like(cx))
-    patches = _extract_batch(imgs, boxes, -ang)            # (M, T, 64, 64)
+    patches = _extract_batch(imgs, boxes, est)             # (M, T, 64, 64)
     flat = jnp.reshape(patches, (M * T, -1))
     flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
 

@@ -76,6 +76,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
             "age": age, "race": race, "gender": gender,
             "eye_l": jnp.zeros(2), "eye_r": jnp.zeros(2),
             "mouth": jnp.zeros(2), "face_size": jnp.float32(0.0),
+            "angle": jnp.zeros(()),
         }
 
     # --- face-local frame (u right, v down, in units of F) -----------------
@@ -132,6 +133,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
         "age": age, "race": race, "gender": gender,
         "eye_l": to_canvas(-EYE_X, EYE_Y), "eye_r": to_canvas(EYE_X, EYE_Y),
         "mouth": to_canvas(0.0, MOUTH_Y), "face_size": jnp.float32(F),
+        "angle": jnp.float32(angle_deg) * jnp.ones(()),
     }
     return jnp.clip(img, 0.0, 1.0), attrs
 

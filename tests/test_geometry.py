@@ -16,7 +16,10 @@ def ref_eye_coords(box, face_sampling=0.825):
 
 
 def ref_eye_boxes(box, rot_angle=0.0):
-    """Transcription of face_analysis.py:61-135."""
+    """Magnitudes per face_analysis.py:61-135; the rotation uses THIS
+    framework's convention R(angle) = [[c, -s], [s, c]] (y down), matching
+    ops.patches and the renderer (the reference's own formulas carry the
+    opposite angle sign because its extractor is called with -angles)."""
     x0, y0, x1, y1 = box
     fc_x = (x0 + x1) / 2.0
     fc_y = (y0 + y1) / 2.0
@@ -25,14 +28,13 @@ def ref_eye_boxes(box, rot_angle=0.0):
     box_width = (abs(x1 - x0) / (64.0 * 2 * 0.825)) * (64 * 2.3719 / 2)
     box_height = box_width
     r = rot_angle * np.pi / 180
-    er_dx = eye_dx * np.cos(r) - eye_dy * np.sin(r)
-    er_dy = eye_dy * np.cos(r) + eye_dx * np.sin(r)
-    el_dx = -eye_dx * np.cos(r) - eye_dy * np.sin(r)
-    el_dy = eye_dy * np.cos(r) - eye_dx * np.sin(r)
-    el_x = fc_x + el_dx
-    er_x = fc_x + er_dx
-    el_y = fc_y - el_dy
-    er_y = fc_y - er_dy
+    c, s = np.cos(r), np.sin(r)
+    el = np.array([fc_x, fc_y]) + np.array([[c, -s], [s, c]]) @ \
+        np.array([-eye_dx, -eye_dy])
+    er = np.array([fc_x, fc_y]) + np.array([[c, -s], [s, c]]) @ \
+        np.array([eye_dx, -eye_dy])
+    el_x, el_y = el
+    er_x, er_y = er
     eyes = np.array([el_x, el_y, er_x, er_y])
     lb = np.array([el_x - box_width / 2, el_y - box_height / 2,
                    el_x + box_width / 2, el_y + box_height / 2])
@@ -63,6 +65,35 @@ def test_eye_boxes_match_reference_rotated():
         np.testing.assert_allclose(np.asarray(eyes)[i], re, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(lb)[i], rl, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(rb)[i], rr, rtol=1e-4, atol=1e-4)
+
+
+def test_eye_boxes_consistent_with_renderer():
+    """For a rotated rendered face with its perfect detection box, the
+    geometric eye approximation must land on the renderer's eyes."""
+    import jax
+    from pyfaceanalysis_tpu.training import synth
+
+    for theta in (-18.0, 0.0, 12.0):
+        _, attrs = synth.render_face(jax.random.PRNGKey(0),
+                                     canvas_hw=(260, 260), face_size=90.0,
+                                     center=(130.0, 130.0), angle_deg=theta)
+        F = 90.0
+        fc = np.array([
+            (float(attrs["eye_l"][0]) + float(attrs["eye_r"][0])) / 2.0,
+            (float(attrs["eye_l"][1]) + float(attrs["eye_r"][1])) / 2.0])
+        fc = (fc + np.asarray(attrs["mouth"])) / 2.0
+        box = np.array([[fc[0] - (F - 1) / 2, fc[1] - (F - 1) / 2,
+                         fc[0] + (F - 1) / 2, fc[1] + (F - 1) / 2]])
+        eyes, _, _ = geometry.compute_approximate_eye_boxes_coordinates(
+            box, np.array([theta]))
+        eyes = np.asarray(eyes)[0]
+        true_eyes = np.concatenate([np.asarray(attrs["eye_l"]),
+                                    np.asarray(attrs["eye_r"])])
+        # Within ~6% of the inter-eye distance (the geometry uses the 0.825
+        # face-sampling approximation).
+        dist = np.hypot(true_eyes[2] - true_eyes[0],
+                        true_eyes[3] - true_eyes[1])
+        np.testing.assert_allclose(eyes, true_eyes, atol=0.06 * dist)
 
 
 def test_mouth_from_eyes():
