@@ -103,6 +103,12 @@ class DetectorConfig:
     # into this many rows on device so only a tiny block crosses the
     # device->host link (the scarce resource on tunneled TPU setups).
     max_detections: int = 512
+    # Mid-cascade compaction: after the first Disc stage (which kills ~90%
+    # of windows) the batch is compacted on device to this many rows, so the
+    # remaining extraction rounds and network executions run on a fraction
+    # of the grid. Survivors are ranked by Disc confidence if they exceed
+    # the budget. 0 disables.
+    mid_compact: int = 512
 
     def resolved_cut_offs(self) -> Tuple[float, ...]:
         """Applies ``last_cut_off_face`` to slot 9 (FaceDetectUpdated.py:434-438)."""

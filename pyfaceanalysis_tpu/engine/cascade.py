@@ -78,6 +78,15 @@ def build_detection_plan(spec: PipelineSpec,
     return tuple(plan)
 
 
+class GridPyramidInfo(NamedTuple):
+    """Static ladder scales + padded per-patch crop origins for the
+    pyramid fast path (ops.pyramid)."""
+
+    scales: Tuple[float, ...]
+    level_hw: Tuple[int, int]
+    crops: jax.Array            # (B, 3) int32 [level, y, x]
+
+
 class CascadeState(NamedTuple):
     """Per-patch cascade state (all (B,) or (B, 4); fixed shapes)."""
 
@@ -103,6 +112,8 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 net_params,                  # tuple of per-network param lists
                 clf_params,                  # tuple of GaussianRegressor
                 state: CascadeState,
+                pyramid=None,
+                crops=None,
                 collect_trace: bool = False):
     """Runs all detection stages on one padded patch batch. One jit per
     (plan, bucket, image shape).
@@ -118,14 +129,23 @@ def run_cascade(plan: Tuple[StagePlan, ...],
 
     boxes, angles, mask = state.boxes, state.angles, state.mask
     conf = state.conf
+    orig_cx, orig_cy = state.orig_cx, state.orig_cy
+    max_dx, max_dy, base_side = state.max_dx, state.max_dy, state.base_side
     patches = None
     sl = None
+    compacted = False
 
-    for st in plan:
+    for si, st in enumerate(plan):
         if st.extract:
-            interp = cfg.interpolation_formats[st.serial]
-            patches = extract_patches_rotate(image, boxes, angles, patch_hw,
-                                             method=interp)
+            if si == 0 and pyramid is not None:
+                # Iter-0 grid: contiguous crops from the scale pyramid
+                # (ops.pyramid) -- ~6x cheaper than the rotated gather.
+                from pyfaceanalysis_tpu.ops.pyramid import crop_patches
+                patches = crop_patches(pyramid, crops, patch_hw)
+            else:
+                interp = cfg.interpolation_formats[st.serial]
+                patches = extract_patches_rotate(image, boxes, angles,
+                                                 patch_hw, method=interp)
             patches = patches.reshape(patches.shape[0], -1)
         if st.net_idx >= 0:
             sl = apply_network(specs_tuple[st.net_idx],
@@ -136,20 +156,37 @@ def run_cascade(plan: Tuple[StagePlan, ...],
         if st.kind == "Disc":
             conf = jnp.where(mask, reg, conf)
             mask = mask & (reg < cut_offs[st.serial])
+            # Mid-cascade device compaction: the first Disc gate kills most
+            # windows; shrink the batch so the remaining extraction rounds
+            # and network executions run on a fraction of the grid.
+            # Survivors are ranked (alive first, then best confidence).
+            if (not compacted and not collect_trace and cfg.mid_compact
+                    and cfg.mid_compact < mask.shape[0]):
+                rank = jnp.where(mask, conf, 2.0)
+                idx = jnp.argsort(rank)[: cfg.mid_compact]
+                boxes, angles, mask, conf = (boxes[idx], angles[idx],
+                                             mask[idx], conf[idx])
+                orig_cx, orig_cy = orig_cx[idx], orig_cy[idx]
+                max_dx, max_dy = max_dx[idx], max_dy[idx]
+                base_side = base_side[idx]
+                patches = patches[idx]
+                if sl is not None:
+                    sl = sl[idx]
+                compacted = True
         elif st.kind == "PosX":
             width = boxes[:, 2] - boxes[:, 0]
             shift = reg * width / geom.regression_width
             boxes = boxes.at[:, 0].add(-shift).at[:, 2].add(-shift)
-            drift = (boxes[:, 0] + boxes[:, 2]) / 2.0 - state.orig_cx
+            drift = (boxes[:, 0] + boxes[:, 2]) / 2.0 - orig_cx
             mask = mask & (jnp.abs(drift) <=
-                           state.max_dx * cfg.tolerance_posxy_deviation)
+                           max_dx * cfg.tolerance_posxy_deviation)
         elif st.kind == "PosY":
             height = boxes[:, 3] - boxes[:, 1]
             shift = reg * height / geom.regression_height
             boxes = boxes.at[:, 1].add(-shift).at[:, 3].add(-shift)
-            drift = (boxes[:, 1] + boxes[:, 3]) / 2.0 - state.orig_cy
+            drift = (boxes[:, 1] + boxes[:, 3]) / 2.0 - orig_cy
             mask = mask & (jnp.abs(drift) <=
-                           state.max_dy * cfg.tolerance_posxy_deviation)
+                           max_dy * cfg.tolerance_posxy_deviation)
         elif st.kind == "PAng":
             angles = angles + reg
             mask = mask & (jnp.abs(angles) <=
@@ -165,7 +202,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             boxes = jnp.stack([cx - nw / 2, cy - nh / 2,
                                cx + nw / 2, cy + nh / 2], axis=1)
             side = jnp.sqrt(nw ** 2 + nh ** 2)
-            ratio = side / state.base_side
+            ratio = side / base_side
             mask = mask & (ratio <= max_scale_radio *
                            cfg.tolerance_scale_deviation)
             mask = mask & (ratio >= min_scale_radio /
@@ -176,9 +213,8 @@ def run_cascade(plan: Tuple[StagePlan, ...],
         if collect_trace:
             trace.append((boxes, angles, mask, conf))
 
-    out = CascadeState(boxes, angles, mask, conf, state.orig_cx,
-                       state.orig_cy, state.max_dx, state.max_dy,
-                       state.base_side)
+    out = CascadeState(boxes, angles, mask, conf, orig_cx, orig_cy,
+                       max_dx, max_dy, base_side)
     if collect_trace:
         return out, tuple(trace)
     return out
@@ -187,7 +223,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
 def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
                     cfg: DetectorConfig,
                     track: Optional[Tuple] = None
-                    ) -> Tuple[CascadeState, int]:
+                    ) -> Tuple[CascadeState, int, "GridPyramidInfo"]:
     """Builds the concatenated all-scales grid, padded to the smallest
     configured bucket size (so XLA compiles a handful of batch shapes).
 
@@ -204,13 +240,25 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
         cfg.patch_overlap_sampling, cfg.adaptive_grid_scale,
         cfg.track_single_face, face_found, track)
 
-    all_boxes, all_mdx, all_mdy, all_base = [], [], [], []
-    for s in samplings:
+    sw = geom.subimage_width
+    sh = geom.subimage_height
+    all_boxes, all_mdx, all_mdy, all_base, all_crops = [], [], [], [], []
+    for k, s in enumerate(samplings):
         posX, posY, pw, ph, mdx, mdy = gridmod.compute_posX_posY_values(
             im_width, im_height, geom, s, cfg.patch_overlap_posx_posy,
             cfg.track_single_face, face_found, track)
+        # Snap grid origins to integer LEVEL pixels (scale s) so iter-0
+        # patches are contiguous pyramid crops (ops.pyramid); jitter is at
+        # most half a patch pixel, well inside the grid overlap.
+        lx = np.round(np.asarray(posX) / s).astype(np.int64)
+        ly = np.round(np.asarray(posY) / s).astype(np.int64)
+        posX = lx * s
+        posY = ly * s
         boxes = gridmod.compute_subimage_coordinates(posX, posY, pw, ph)
         n = len(boxes)
+        gx, gy = np.meshgrid(lx, ly)
+        all_crops.append(np.stack([np.full(n, k), gy.reshape(-1),
+                                   gx.reshape(-1)], axis=1))
         all_boxes.append(boxes)
         all_mdx.append(np.full(n, mdx))
         all_mdy.append(np.full(n, mdy))
@@ -241,4 +289,13 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
             np.concatenate(all_base).astype(np.float32), fill=1.0)
             if all_base else np.ones(total, np.float32)),
     )
-    return state, n_real
+
+    pyr = None
+    if samplings:
+        s0 = min(samplings)
+        lh = int(np.ceil(im_height / s0)) + 2
+        lw = int(np.ceil(im_width / s0)) + 2
+        crops = padded(np.concatenate(all_crops, axis=0).astype(np.int32))
+        pyr = GridPyramidInfo(tuple(float(s) for s in samplings),
+                              (lh, lw), jnp.asarray(crops))
+    return state, n_real, pyr

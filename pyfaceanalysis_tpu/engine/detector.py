@@ -135,7 +135,7 @@ from functools import partial
 def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
                  dim_x, dim_y, k_out,
                  image, det_params, det_clfs, eye_params, clf_ex, clf_ey,
-                 state):
+                 state, pyramid=None, crops=None):
     """Fused cascade + survivor compaction + eye localization, one jit.
 
     Returns a (k_out, 11) block: [x0, y0, x1, y1, angle, elx, ely, erx, ery,
@@ -145,7 +145,7 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     out = cascade_mod.run_cascade(
         plan, det_specs, geom, cfg,
         (geom.subimage_height, geom.subimage_width),
-        image, det_params, det_clfs, state)
+        image, det_params, det_clfs, state, pyramid=pyramid, crops=crops)
 
     # Device-side compaction: alive rows first (stable argsort of ~mask).
     k_out = min(k_out, out.mask.shape[0])
@@ -235,11 +235,18 @@ class FaceDetector:
 
         track = self.tracked_face if (cfg.track_single_face and
                                       self.face_has_been_found) else None
-        state, n_real = cascade_mod.make_grid_state(im_w, im_h, geom, cfg,
-                                                    track)
+        state, n_real, pyr = cascade_mod.make_grid_state(im_w, im_h, geom,
+                                                         cfg, track)
         self.windows_scanned = n_real
         if n_real == 0:
             return []
+        # Pyramid fast path for the iter-0 extraction (nearest interp only).
+        pyramid = crops = None
+        if (pyr is not None and
+                cfg.interpolation_formats[model.plan[0].serial] == "nearest"):
+            from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
+            pyramid = build_pyramid(device_image, pyr.scales, pyr.level_hw)
+            crops = pyr.crops
 
         self.last_trace = None
         if collect_trace:
@@ -247,7 +254,7 @@ class FaceDetector:
                 model.plan, model.det_specs, geom, cfg,
                 (geom.subimage_height, geom.subimage_width),
                 device_image, model.det_params, model.det_clfs, state,
-                collect_trace=True)
+                pyramid=pyramid, crops=crops, collect_trace=True)
             self.last_trace = [tuple(np.asarray(t) for t in snap)
                                for snap in trace]
             mask = np.asarray(out.mask)
@@ -266,7 +273,7 @@ class FaceDetector:
                 model.clf_input_dim("EyeLY"), cfg.max_detections,
                 device_image, model.det_params, model.det_clfs,
                 tuple(eye_net.params), model.classifier("EyeLX"),
-                model.classifier("EyeLY"), state)
+                model.classifier("EyeLY"), state, pyramid, crops)
             block = np.asarray(block)                 # the one result pull
             rows = block[block[:, 10] > 0.5][:, :10]
         if len(rows) == 0:

@@ -1,0 +1,64 @@
+"""Scale-ladder image pyramid + aligned crop extraction.
+
+The iter-0 grid patches are axis-aligned, unrotated windows at the ladder
+scales (engine.grid). Sampling them as rotated gathers costs ~8M random HBM
+lookups per pass; a pyramid turns them into contiguous 64x64 crops:
+
+- ``build_pyramid``: one nearest-resize gather per ladder scale (a few
+  hundred K points TOTAL), stacked into an (L, lh, lw) tensor.
+- ``crop_patches``: vmapped ``dynamic_slice`` -- measured ~6x faster than
+  the rotated gather for 2048 windows on a v5e chip.
+
+Grid positions are SNAPPED to integer level pixels (at most half a level
+pixel, i.e. half a patch pixel, of grid jitter -- far below the grid spacing
+and irrelevant to labels because the snapped box is what enters the cascade
+state). Later rounds (moved/rotated boxes) and eye patches keep the general
+rotated-gather path at the compacted batch size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("scales", "level_hw"))
+def build_pyramid(image: jax.Array, scales: Tuple[float, ...],
+                  level_hw: Tuple[int, int]) -> jax.Array:
+    """(H, W) image -> (L, lh, lw) nearest-resized levels.
+
+    Level k holds the image at 1/scales[k] resolution in its top-left
+    corner (one level pixel = scales[k] source pixels; sampling at pixel
+    centers, matching ops.patches nearest semantics). Out-of-image texels
+    are 0.
+    """
+    H, W = image.shape
+    lh, lw = level_hw
+    flat = image.reshape(-1)
+    levels = []
+    yy = jnp.arange(lh, dtype=jnp.float32)
+    xx = jnp.arange(lw, dtype=jnp.float32)
+    for s in scales:
+        sy = jnp.round((yy + 0.5) * s - 0.5).astype(jnp.int32)
+        sx = jnp.round((xx + 0.5) * s - 0.5).astype(jnp.int32)
+        inb = ((sy >= 0) & (sy < H))[:, None] & ((sx >= 0) & (sx < W))[None]
+        idx = (jnp.clip(sy, 0, H - 1)[:, None] * W
+               + jnp.clip(sx, 0, W - 1)[None])
+        levels.append(jnp.where(inb, jnp.take(flat, idx.reshape(-1),
+                                              axis=0).reshape(lh, lw), 0.0))
+    return jnp.stack(levels)
+
+
+@partial(jax.jit, static_argnames=("patch_hw",))
+def crop_patches(pyramid: jax.Array, crops: jax.Array,
+                 patch_hw: Tuple[int, int] = (64, 64)) -> jax.Array:
+    """crops: (B, 3) int32 [level, y, x] -> (B, h, w) contiguous crops."""
+    h, w = patch_hw
+
+    def one(c):
+        return jax.lax.dynamic_slice(pyramid, (c[0], c[1], c[2]), (1, h, w))[0]
+
+    return jax.vmap(one)(crops)

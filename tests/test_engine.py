@@ -156,7 +156,7 @@ class TestGridState:
         geom = NetGeometry()
         cfg = DetectorConfig(smallest_face=0.2, bucket_sizes=(64, 256, 1024,
                                                               4096, 16384))
-        state, n = cascade_mod.make_grid_state(400, 300, geom, cfg)
+        state, n, pyr = cascade_mod.make_grid_state(400, 300, geom, cfg)
         assert n > 0
         assert state.boxes.shape[0] >= n
         assert bool(state.mask[0]) and not bool(state.mask[-1])
