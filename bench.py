@@ -143,18 +143,30 @@ def main() -> int:
     for _ in range(TIMED_RUNS):
         detector.detect(image)
     dt = (time.time() - t0) / TIMED_RUNS
-    wps = n_windows / dt
+    wps_single = n_windows / dt
+
+    # Batched mode (the production serving path): 16 images per dispatch.
+    batch = [image] * 16
+    detector.detect_batch(batch)                  # warmup/compile
+    t0 = time.time()
+    for _ in range(TIMED_RUNS):
+        detector.detect_batch(batch)
+    dt_b = (time.time() - t0) / TIMED_RUNS / len(batch)
+    wps_batched = n_windows / dt_b
 
     cpu_wps = _cpu_reference_windows_per_sec(model)
     result = {
         "metric": "detection_windows_per_sec (TNS-Group.jpg, "
-                  "smallest_face=0.1, full pipeline incl. eyes+ARG)",
-        "value": round(wps, 1),
+                  "smallest_face=0.1, full pipeline incl. eyes+ARG, "
+                  "batch=16)",
+        "value": round(wps_batched, 1),
         "unit": "windows/s",
-        "vs_baseline": round(wps / cpu_wps, 2),
+        "vs_baseline": round(wps_batched / cpu_wps, 2),
         "detail": {
             "windows_per_image": int(n_windows),
-            "seconds_per_image": round(dt, 4),
+            "seconds_per_image_batched": round(dt_b, 4),
+            "single_image_windows_per_sec": round(wps_single, 1),
+            "seconds_per_image_single": round(dt, 4),
             "detections": len(detections),
             "cpu_reference_windows_per_sec": round(cpu_wps, 1),
             "timed_runs": TIMED_RUNS,

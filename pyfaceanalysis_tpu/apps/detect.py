@@ -209,6 +209,53 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
     total_windows = 0
     total_faces = 0
     t_start = time.time()
+
+    # Batched fast path: many images, no per-image debug/eval side outputs.
+    use_batch = (len(image_filenames) > 1 and truth is None
+                 and not (save_patches or save_normalized or display_plots
+                          or show_final_detection or cfg.track_single_face
+                          or cfg.skip_existing_output))
+    if use_batch:
+        loaded = []
+        for img_fn in image_filenames:
+            image, _ = im_io.load_image(
+                img_fn, cfg.prescale_size if cfg.image_prescaling else None)
+            loaded.append(image)
+        benchmark.add_task_from_previous_time("Images loaded (batch)")
+        # Group by shape; each group runs as one vmapped device program.
+        results = [None] * len(loaded)
+        by_shape = {}
+        for i, im in enumerate(loaded):
+            by_shape.setdefault(im.shape, []).append(i)
+        for idxs in by_shape.values():
+            for k in range(0, len(idxs), 16):
+                chunk = idxs[k:k + 16]
+                dets = detector.detect_batch([loaded[i] for i in chunk])
+                for i, d in zip(chunk, dets):
+                    results[i] = d
+        benchmark.add_task_from_previous_time("Batched detection")
+        for i, (img_fn, out_fn) in enumerate(zip(image_filenames,
+                                                 output_filenames)):
+            detections = results[i]
+            total_windows += detector.windows_scanned
+            total_faces += len(detections)
+            if verbose:
+                print(f"{img_fn}: {len(detections)} face(s)")
+            if write_results:
+                writers.write_detections(
+                    out_fn, detections,
+                    right_screen_eye_first=cfg.right_screen_eye_first,
+                    write_age_race_gender_confidence=(
+                        cfg.write_age_race_gender_confidence
+                        and cfg.estimate_age))
+        dt = time.time() - t_start
+        if verbose:
+            print(f"\nbatch: {len(loaded)} image(s), {total_faces} face(s), "
+                  f"{total_windows} windows in {dt:.2f}s "
+                  f"({total_windows / max(dt, 1e-9):.0f} windows/s)")
+            benchmark.display()
+        return 0
+
     for i, (img_fn, out_fn) in enumerate(zip(image_filenames,
                                              output_filenames)):
         if cfg.skip_existing_output and os.path.exists(out_fn):

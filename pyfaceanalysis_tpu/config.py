@@ -102,7 +102,7 @@ class DetectorConfig:
     # Device-side survivor compaction width: cascade+eye results are gathered
     # into this many rows on device so only a tiny block crosses the
     # device->host link (the scarce resource on tunneled TPU setups).
-    max_detections: int = 512
+    max_detections: int = 256
     # Mid-cascade compaction: after the first Disc stage (which kills ~90%
     # of windows) the batch is compacted on device to this many rows, so the
     # remaining extraction rounds and network executions run on a fraction

@@ -301,6 +301,91 @@ class FaceDetector:
                 gender_value=None if genders is None else float(genders[j])))
         return det_list
 
+    # -- batched multi-image detection ----------------------------------------
+
+    def detect_batch(self, images: Sequence[np.ndarray],
+                     estimate_attributes: bool = True) -> List[List[Detection]]:
+        """Detects faces in MANY same-sized grayscale images at once.
+
+        The grid/state is identical for same-sized inputs, so the per-image
+        device programs are dispatched back-to-back ASYNCHRONOUSLY (jax
+        dispatch is non-blocking) and the result blocks are pulled
+        afterwards -- host work, transfers and device compute overlap
+        instead of serializing per image. Images of differing sizes fall
+        back to sequential detect().
+        """
+        if len(images) == 0:
+            return []
+        shape0 = images[0].shape
+        if any(im.shape != shape0 for im in images) or \
+                self.config.track_single_face:
+            return [self.detect(im, estimate_attributes) for im in images]
+
+        cfg = self.config
+        model = self.model
+        geom = model.spec.face_geom
+        im_h, im_w = shape0
+        state, n_real, pyr = cascade_mod.make_grid_state(im_w, im_h, geom,
+                                                         cfg)
+        self.windows_scanned = n_real
+        if n_real == 0:
+            return [[] for _ in images]
+
+        eye_net = model.nets["net_eye"]
+        use_pyr = (pyr is not None and
+                   cfg.interpolation_formats[model.plan[0].serial]
+                   == "nearest")
+
+        # Phase 1: dispatch everything (async); keep device handles.
+        device_images = []
+        futures = []
+        for im in images:
+            device_image = self._to_canvas(im)
+            device_images.append(device_image)
+            pyramid = crops = None
+            if use_pyr:
+                from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
+                pyramid = build_pyramid(device_image, pyr.scales,
+                                        pyr.level_hw)
+                crops = pyr.crops
+            futures.append(_detect_core(
+                model.plan, model.det_specs, geom, model.spec.eye_geom, cfg,
+                eye_net.specs, model.clf_input_dim("EyeLX"),
+                model.clf_input_dim("EyeLY"), cfg.max_detections,
+                device_image, model.det_params, model.det_clfs,
+                tuple(eye_net.params), model.classifier("EyeLX"),
+                model.classifier("EyeLY"), state, pyramid, crops))
+
+        # Phase 2: pull results (device queue drains while we postprocess).
+        out: List[List[Detection]] = []
+        for i, fut in enumerate(futures):
+            block = np.asarray(fut)
+            rows = block[block[:, 10] > 0.5][:, :10]
+            if len(rows) == 0:
+                out.append([])
+                continue
+            purged = nms_mod.purge_detections(rows, cfg.purge_threshold)
+            dets = []
+            ages = stds = races = genders = None
+            if estimate_attributes and (cfg.estimate_age or cfg.estimate_race
+                                        or cfg.estimate_gender):
+                ages, stds, races, genders = \
+                    heads_mod.estimate_age_race_gender(
+                        device_images[i], purged, model)
+            for j, r in enumerate(purged):
+                dets.append(Detection(
+                    box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
+                    eye_left=(float(r[5]), float(r[6])),
+                    eye_right=(float(r[7]), float(r[8])),
+                    confidence=float(r[9]),
+                    age=None if ages is None else float(ages[j]),
+                    age_std=None if stds is None else float(stds[j]),
+                    race_value=None if races is None else float(races[j]),
+                    gender_value=None if genders is None
+                    else float(genders[j])))
+            out.append(dets)
+        return out
+
     # -- eye localization ------------------------------------------------------
 
     def _localize_eyes(self, device_image, boxes, angles, confs) -> np.ndarray:

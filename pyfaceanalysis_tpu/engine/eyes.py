@@ -47,8 +47,10 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
         (new_boxes (B, 4), too_far (B,) bool).
     """
     h, w = patch_hw
+    # NEAREST like every reference extraction (interpolation_formats default,
+    # FaceDetectUpdated.py:125) -- and ~3.5x cheaper than bilinear gathers.
     patches = extract_patches_rotate(image, eye_boxes, angles, patch_hw,
-                                     method="bilinear")
+                                     method="nearest")
     flat = patches.reshape(patches.shape[0], -1)
     flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
     sl = apply_network(specs, net_params, flat)

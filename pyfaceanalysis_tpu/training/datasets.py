@@ -64,9 +64,11 @@ def _boxes_from_centers(cx, cy, side):
     return jnp.stack([x0, y0, x0 + side - 1.0, y0 + side - 1.0], axis=-1)
 
 
+# NEAREST matches the inference extractions (config interpolation_formats
+# default; the reference also samples NEAREST, FaceDetectUpdated.py:125).
 _extract_batch = jax.jit(jax.vmap(
     lambda img, boxes, angles: extract_patches_rotate(
-        img, boxes, angles, (64, 64), method="bilinear")))
+        img, boxes, angles, (64, 64), method="nearest")))
 
 
 def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,

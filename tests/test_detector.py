@@ -103,6 +103,23 @@ class TestDetectEndToEnd:
         assert det.last_trace is not None
         assert len(det.last_trace) == 17
 
+    def test_detect_batch_matches_sequential(self, loaded_model):
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        det = FaceDetector(loaded_model, cfg)
+        rng = np.random.RandomState(3)
+        images = [rng.rand(100, 120).astype(np.float32) for _ in range(3)]
+        batched = det.detect_batch(images, estimate_attributes=False)
+        assert len(batched) == 3
+        seq = [det.detect(im, estimate_attributes=False) for im in images]
+        for b, s in zip(batched, seq):
+            assert len(b) == len(s)
+            for db, ds in zip(b, s):
+                np.testing.assert_allclose(db.box, ds.box, rtol=1e-4,
+                                           atol=1e-3)
+
     def test_cli_run_detection(self, random_artifact_dir, tmp_path):
         """The pfa-detect code path end to end, including the output file."""
         from pyfaceanalysis_tpu.apps.detect import run_detection
