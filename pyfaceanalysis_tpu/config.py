@@ -93,6 +93,16 @@ class DetectorConfig:
     # Eye localization rejection threshold (face_analysis.py:1018 tolerance_xy_eye)
     tolerance_xy_eye: float = 9.0
 
+    # Save the 96x96 age-head input patches (the reference writes
+    # ImageForAgeEstimation%03d.jpg unconditionally, face_analysis.py:1251;
+    # here opt-in).
+    save_age_estimation_images: bool = False
+
+    # Per-patch contrast normalization before detection networks
+    # (load_network_subimages contrast_normalize -- the reference defaults
+    # it OFF, FaceDetectUpdated.py:686).
+    detection_contrast_normalize: bool = False
+
     # NMS threshold on relative eye error (face_analysis.py:217)
     purge_threshold: float = 0.25
 

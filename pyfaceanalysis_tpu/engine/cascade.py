@@ -147,6 +147,15 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 patches = extract_patches_rotate(image, boxes, angles,
                                                  patch_hw, method=interp)
             patches = patches.reshape(patches.shape[0], -1)
+            if cfg.detection_contrast_normalize:
+                # load_network_subimages(contrast_normalize=True) semantics
+                # (face_analysis.py:793): mean 137.5 / std 0.4*255 in
+                # [0, 255] units; our pixels are [0, 1].
+                from pyfaceanalysis_tpu.ops.contrast import (
+                    contrast_normalize_avg_std,
+                )
+                patches = contrast_normalize_avg_std(
+                    patches * 255.0, 137.5, 0.40 * 255.0) / 255.0
         if st.net_idx >= 0:
             sl = apply_network(specs_tuple[st.net_idx],
                                net_params[st.net_idx], patches)

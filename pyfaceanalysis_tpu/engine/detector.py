@@ -105,8 +105,18 @@ class DetectionModel:
     @staticmethod
     def load(artifact_dir: str, pipeline_file: Optional[str] = None
              ) -> "DetectionModel":
-        pipeline_file = pipeline_file or os.path.join(artifact_dir,
-                                                      "Pipeline_tpu.txt")
+        if pipeline_file is None:
+            # Pipeline discovery like the reference (scan for Pipeline*.txt,
+            # pick the first; FaceDetectUpdated.py:153-178).
+            from pyfaceanalysis_tpu.io.legacy import (
+                find_filenames_beginning_with,
+            )
+            found = find_filenames_beginning_with(artifact_dir, "Pipeline",
+                                                  extension=".txt")
+            if not found:
+                raise FileNotFoundError(
+                    f"no Pipeline*.txt in {artifact_dir!r}")
+            pipeline_file = found[0]
         spec = parse_pipeline(pipeline_file)
         nets: Dict[str, HierarchicalNetwork] = {}
         classifiers: List[GaussianRegressor] = []
@@ -289,6 +299,10 @@ class FaceDetector:
                                     cfg.estimate_gender):
             ages, stds, races, genders = heads_mod.estimate_age_race_gender(
                 device_image, purged, model)
+            if cfg.save_age_estimation_images:
+                self._age_image_index = heads_mod.save_age_estimation_images(
+                    device_image, purged,
+                    start_index=getattr(self, "_age_image_index", 0))
         for j, r in enumerate(purged):
             det_list.append(Detection(
                 box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),

@@ -111,6 +111,43 @@ def estimate_age_race_gender(image: jax.Array, rows: np.ndarray, model
             np.asarray(race)[:n], np.asarray(gender)[:n])
 
 
+def save_age_estimation_images(image: jax.Array, rows: np.ndarray,
+                               pattern: str = "ImageForAgeEstimation%03d.jpg",
+                               start_index: int = 0) -> int:
+    """Writes the 96x96 age-head input patches as JPEGs.
+
+    The reference does this UNCONDITIONALLY during attribute estimation
+    (face_analysis.py:1251-1254, 'ImageForAgeEstimation%03d.jpg'); here it is
+    an opt-in debug side output (DetectorConfig.save_age_estimation_images).
+    Returns the next index.
+    """
+    from pyfaceanalysis_tpu.io import images as im_io
+
+    n = len(rows)
+    if n == 0:
+        return start_index
+    centers, angles, sfs = [], [], []
+    for row in rows:
+        fp = normalization.frame_params(
+            [row[5], row[6], row[7], row[8], 0.0, 0.0],
+            normalization_method="eyes_inferred-mouth_areaZ",
+            centering_mode="mid_eyes_inferred-mouth",
+            rotation_mode="EyeLineRotation", out_size=(Z_SIZE[1], Z_SIZE[0]))
+        centers.append([fp.center_x, fp.center_y])
+        angles.append(fp.angle_deg)
+        sfs.append(fp.sf)
+    fr, fc, tx, ty = age_patch_constants()
+    zh, zw = Z_SIZE
+    for j in range(n):
+        fp = normalization.FrameParams(centers[j][0], centers[j][1],
+                                       angles[j], sfs[j])
+        z = normalization.sample_frame(image, fp, (zw, zh))
+        patch = np.asarray(extract_centered_patch(
+            jnp.asarray(z), AGE_SAMPLING, fr, fc, tx, ty, (96, 96)))[0]
+        im_io.save_image(pattern % (start_index + j), patch)
+    return start_index + n
+
+
 def gender_strings(values, long_text: bool = True) -> List[str]:
     """-1 -> Male, +1 -> Female (face_analysis.py:333-351)."""
     return [("Male" if long_text else "M") if v <= 0

@@ -65,3 +65,21 @@ class Benchmark:
         out = "\n".join(lines)
         print(out)
         return out
+
+
+if __name__ == "__main__":
+    # Self-test, mirroring the reference module's __main__ exercise
+    # (benchmarking.py:111-141).
+    b = Benchmark(enabled=True)
+    for i in range(3):
+        b.update_start_time()
+        time.sleep(0.01)
+        b.add_task_from_previous_time("sleep 10ms")
+    b.set_default_reference("networks")
+    time.sleep(0.02)
+    b.add_task_from_previous_time("network phase", reference="networks")
+    b.display()
+    disabled = Benchmark(enabled=False)
+    disabled.add_task_from_previous_time("ignored")
+    assert disabled.display() == "(benchmark disabled)"
+    print("Benchmark self-test OK")

@@ -17,9 +17,9 @@ pytestmark = pytest.mark.slow
 def trained_dir(tmp_path_factory):
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
     out = str(tmp_path_factory.mktemp("trained"))
-    cfg = TrainConfig(num_faces=60, steps_per_face=30, disc_faces=60,
-                      disc_steps=30, eye_faces=50, eye_steps=30,
-                      age_samples=1500, train_final_disc=False)
+    cfg = TrainConfig(num_faces=110, steps_per_face=40, disc_faces=110,
+                      disc_steps=40, eye_faces=90, eye_steps=40,
+                      age_samples=2000, train_final_disc=False)
     train_pipeline(out, cfg, verbose=False)
     return out
 
