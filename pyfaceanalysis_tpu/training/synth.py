@@ -121,9 +121,37 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     feats += wr_amp * jnp.sin(u * 48.0 + phase) * (
         blob(-EYE_X, EYE_Y + 0.09, 0.09, 0.05) + blob(EYE_X, EYE_Y + 0.09, 0.09, 0.05))
 
-    face_val = skin + feats
+    # Hair: dark cap above the forehead (outer head ellipse minus a
+    # hairline), present on most faces. Real photos rarely show bald,
+    # hairless heads like pure ellipse renders.
+    khair = jax.random.split(ks[10], 4)
+    has_hair = jax.random.uniform(khair[0], ()) > 0.15
+    hairline = jax.random.uniform(khair[1], (), minval=-0.40, maxval=-0.24)
+    hair_tone = jax.random.uniform(khair[2], (), minval=0.05, maxval=0.35)
+    e_hair = (u / (ax * 1.18)) ** 2 + ((v + 0.06) / (ay * 1.12)) ** 2
+    hair_mask = (jax.nn.sigmoid((1.0 - e_hair) / 0.05)
+                 * jax.nn.sigmoid((hairline - v) / 0.03)
+                 * jnp.where(has_hair, 1.0, 0.0))
+
+    # Glasses on ~30% of faces: dark rings around both eyes + a bridge bar
+    # (label-neutral; eye centers stay canonical).
+    kglass = jax.random.split(ks[11], 2)
+    has_glasses = jax.random.uniform(kglass[0], ()) < 0.3
+    rr = jax.random.uniform(kglass[1], (), minval=0.075, maxval=0.10)
+    def ring(du, dv):
+        r = jnp.sqrt(((u - du) / 1.15) ** 2 + (v - dv) ** 2)
+        return jnp.exp(-((r - rr) / 0.012) ** 2)
+    bridge = jnp.exp(-(u / 0.045) ** 2 - ((v - EYE_Y) / 0.012) ** 2)
+    glasses = (ring(-EYE_X, EYE_Y) + ring(EYE_X, EYE_Y) + bridge) \
+        * jnp.where(has_glasses, 1.0, 0.0)
+
+    face_val = skin + feats - 0.25 * glasses
     img = bg * (1.0 - head) + face_val * head
+    img = img * (1.0 - hair_mask) + hair_tone * hair_mask
     img = img + 0.015 * jax.random.normal(ks[9], (H, W))
+    # Photometric augmentation: random gamma (exposure variation).
+    gamma = jnp.exp(jax.random.uniform(ks[12], (), minval=-0.3, maxval=0.3))
+    img = jnp.clip(img, 0.0, 1.0) ** gamma
 
     # Ground-truth landmark positions in canvas coordinates.
     def to_canvas(fu, fv):
