@@ -236,7 +236,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                          labels["scale"]], axis=1)
         net = train_network(net, x, graph="serial", labels=lab4,
                             num_groups=cfg.pose_classes, verbose=verbose,
-                            label_weights=(1.0, 1.0, 2.0, 2.0))
+                            label_weights=(1.0, 1.0, 3.0, 2.0))
         nets[name] = net
         feats = _execute(net, x)
         for lab_name, stage, dim in [("dx", f"PosX{it}", 10 if it == "0" else 20),
