@@ -99,6 +99,9 @@ class CascadeState(NamedTuple):
     max_dx: jax.Array       # acceptance radii (per scale -> per patch)
     max_dy: jax.Array
     base_side: jax.Array    # original box diagonal
+    # Per-patch image index for fused multi-image batches ((B,) int32);
+    # None on the single-image path.
+    img_idx: Optional[jax.Array] = None
 
 
 @partial(jax.jit, static_argnames=("plan", "specs_tuple", "geom", "cfg",
@@ -131,6 +134,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
     conf = state.conf
     orig_cx, orig_cy = state.orig_cx, state.orig_cy
     max_dx, max_dy, base_side = state.max_dx, state.max_dy, state.base_side
+    img_idx = state.img_idx
     patches = None
     sl = None
     compacted = False
@@ -145,7 +149,8 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             else:
                 interp = cfg.interpolation_formats[st.serial]
                 patches = extract_patches_rotate(image, boxes, angles,
-                                                 patch_hw, method=interp)
+                                                 patch_hw, method=interp,
+                                                 image_idx=img_idx)
             patches = patches.reshape(patches.shape[0], -1)
             if cfg.detection_contrast_normalize:
                 # load_network_subimages(contrast_normalize=True) semantics
@@ -179,6 +184,8 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 max_dx, max_dy = max_dx[idx], max_dy[idx]
                 base_side = base_side[idx]
                 patches = patches[idx]
+                if img_idx is not None:
+                    img_idx = img_idx[idx]
                 if sl is not None:
                     sl = sl[idx]
                 compacted = True
@@ -223,7 +230,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             trace.append((boxes, angles, mask, conf))
 
     out = CascadeState(boxes, angles, mask, conf, orig_cx, orig_cy,
-                       max_dx, max_dy, base_side)
+                       max_dx, max_dy, base_side, img_idx)
     if collect_trace:
         return out, tuple(trace)
     return out

@@ -32,11 +32,14 @@ import jax.numpy as jnp
 def extract_patches_rotate(image: jax.Array, boxes: jax.Array,
                            angles: jax.Array,
                            out_hw: Tuple[int, int] = (64, 64),
-                           method: str = "bilinear") -> jax.Array:
-    """Extracts B rotated patches from one grayscale image.
+                           method: str = "bilinear",
+                           image_idx: jax.Array = None) -> jax.Array:
+    """Extracts B rotated patches from one image, or from a STACK of images
+    with a per-box image index (the reference's
+    ``extract_subimages_rotate(images, indices, ...)`` API).
 
     Args:
-        image: (H, W) float array, pixel values in [0, 1].
+        image: (H, W) float array in [0, 1], or (N, H, W) with ``image_idx``.
         boxes: (B, 4) [x0, y0, x1, y1] subpixel boxes, x1/y1 inclusive.
         angles: (B,) in-plane angles in DEGREES. A positive angle samples the
             patch rotated counter-clockwise in image coordinates, matching the
@@ -45,11 +48,17 @@ def extract_patches_rotate(image: jax.Array, boxes: jax.Array,
             function applies the inverse warp.
         out_hw: output (height, width).
         method: "bilinear" or "nearest".
+        image_idx: (B,) int32 image index per box (required iff image is 3D).
 
     Returns:
         (B, h, w) float32 patches; samples outside the image are 0.
     """
-    H, W = image.shape
+    if image.ndim == 3:
+        N, H, W = image.shape
+        base = image_idx.astype(jnp.int32) * (H * W)
+    else:
+        H, W = image.shape
+        base = None
     oh, ow = out_hw
     image = image.astype(jnp.float32).reshape(-1)
 
@@ -77,12 +86,17 @@ def extract_patches_rotate(image: jax.Array, boxes: jax.Array,
     px = us - 0.5
     py = vs - 0.5
 
+    def flat_idx(iy, ix):
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        if base is not None:
+            idx = idx + base[:, None, None]
+        return idx
+
     if method == "nearest":
         ix = jnp.round(px).astype(jnp.int32)
         iy = jnp.round(py).astype(jnp.int32)
         inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        vals = jnp.take(image, idx, axis=0)
+        vals = jnp.take(image, flat_idx(iy, ix), axis=0)
         return jnp.where(inb, vals, 0.0)
 
     ix0 = jnp.floor(px)
@@ -94,8 +108,7 @@ def extract_patches_rotate(image: jax.Array, boxes: jax.Array,
 
     def tap(iy, ix):
         inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        return jnp.where(inb, jnp.take(image, idx, axis=0), 0.0)
+        return jnp.where(inb, jnp.take(image, flat_idx(iy, ix), axis=0), 0.0)
 
     v00 = tap(iy0, ix0)
     v01 = tap(iy0, ix0 + 1)
