@@ -1,10 +1,15 @@
-"""Slow quality tests: train a small pipeline and verify it actually works
-(regressors track labels; the detector finds a rendered face).
+"""Slow tests: production-artifact quality + trainer mechanics.
 
 Run explicitly with:  pytest tests/test_trained_pipeline.py -m slow
-Excluded from the default suite (see conftest/pytest.ini markers) because
-training takes minutes.
+Excluded from the default suite (pytest.ini markers).
+
+Quality assertions run against the SHIPPED artifacts (SavedNetworksTPU/ in
+the repo) -- training a CPU-sized pipeline in-test proved too noisy to gate
+on. A separate smoke test exercises ``train_pipeline`` end to end at tiny
+sizes with mechanics-only assertions.
 """
+
+import os
 
 import numpy as np
 import jax
@@ -12,37 +17,29 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
+REPO_ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "SavedNetworksTPU")
 
-@pytest.fixture(scope="module")
-def trained_dir(tmp_path_factory):
-    from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
-    out = str(tmp_path_factory.mktemp("trained"))
-    cfg = TrainConfig(num_faces=160, steps_per_face=45, disc_faces=160,
-                      disc_steps=45, eye_faces=120, eye_steps=45,
-                      age_samples=2000, train_final_disc=False)
-    train_pipeline(out, cfg, verbose=False)
-    return out
+needs_artifacts = pytest.mark.skipif(
+    not os.path.isdir(REPO_ARTIFACTS),
+    reason="no shipped artifacts (run pfa-train)")
 
 
-def test_pose_regressors_track_labels(trained_dir):
+@needs_artifacts
+def test_pose_regressors_track_labels():
     from pyfaceanalysis_tpu.engine.detector import DetectionModel
     from pyfaceanalysis_tpu.training import datasets
     from pyfaceanalysis_tpu.config import NetGeometry
     import jax.numpy as jnp
 
-    model = DetectionModel.load(trained_dir)
-    x, labels = datasets.pose_dataset(jax.random.PRNGKey(7), 12, 16,
+    model = DetectionModel.load(REPO_ARTIFACTS)
+    x, labels = datasets.pose_dataset(jax.random.PRNGKey(7), 16, 16,
                                       NetGeometry(), 40.0, 20.0, 22.5)
     net = model.network_for("PosX0")
-    feats = np.asarray(jax.jit(net.execute)(jnp.asarray(x)))
-    # Thresholds scaled to this test's small training size (the full-size
-    # trained pipeline reaches ~0.99/0.94/0.66/0.84); PAng is the weakest
-    # signal and needs the most data.
-    # PAng is noise-level at this training size (it needs ~10k samples to
-    # reach corr ~0.66); assert only that it is not anti-correlated.
-    for stage, lab, thresh in [("PosX0", "dx", 0.5), ("PosY0", "dy", 0.4),
-                               ("PAng0", "ang", -0.15),
-                               ("Scale0", "scale", 0.3)]:
+    feats = np.asarray(jax.jit(net.execute)(x))
+    for stage, lab, thresh in [("PosX0", "dx", 0.9), ("PosY0", "dy", 0.8),
+                               ("PAng0", "ang", 0.3),
+                               ("Scale0", "scale", 0.6)]:
         clf = model.classifier(stage)
         pred = np.asarray(clf.regression(
             jnp.asarray(feats[:, :clf.input_dim])))
@@ -50,35 +47,34 @@ def test_pose_regressors_track_labels(trained_dir):
         assert corr > thresh, f"{stage}: corr {corr:.2f} with {lab}"
 
 
-def test_disc_separates_faces_from_background(trained_dir):
+@needs_artifacts
+def test_disc_separates_faces_from_background():
     from pyfaceanalysis_tpu.engine.detector import DetectionModel
     from pyfaceanalysis_tpu.training import datasets
     from pyfaceanalysis_tpu.config import NetGeometry
     import jax.numpy as jnp
 
-    model = DetectionModel.load(trained_dir)
+    model = DetectionModel.load(REPO_ARTIFACTS)
     x, cls, avg = datasets.disc_dataset(jax.random.PRNGKey(8), 12, 16,
                                         NetGeometry())
     net = model.network_for("Disc1")
-    feats = np.asarray(jax.jit(net.execute)(jnp.asarray(x)))
+    feats = np.asarray(jax.jit(net.execute)(x))
     clf = model.classifier("Disc1")
     pred = np.asarray(clf.regression(jnp.asarray(feats[:, :clf.input_dim])))
     centered = pred[cls <= 1]
     background = pred[cls == 9]
-    assert centered.mean() + 0.15 < background.mean()
+    assert centered.mean() + 0.3 < background.mean()
 
 
-def test_detects_rendered_face(trained_dir):
+@needs_artifacts
+def test_detects_rendered_face():
     from pyfaceanalysis_tpu.config import DetectorConfig
     from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
     from pyfaceanalysis_tpu.engine.nms import relative_eye_error_np
     from pyfaceanalysis_tpu.training import synth
 
-    model = DetectionModel.load(trained_dir)
-    # Relaxed final gate: this model trains at a fraction of the production
-    # size; the test checks the end-to-end mechanics, not final quality.
-    det = FaceDetector(model, DetectorConfig(smallest_face=0.25,
-                                             last_cut_off_face=0.5))
+    model = DetectionModel.load(REPO_ARTIFACTS)
+    det = FaceDetector(model, DetectorConfig(smallest_face=0.25))
     img, attrs = synth.render_face(jax.random.PRNGKey(1234),
                                    canvas_hw=(280, 280), face_size=100.0,
                                    center=(140.0, 140.0))
@@ -88,3 +84,24 @@ def test_detects_rendered_face(trained_dir):
     errs = [relative_eye_error_np(np.array([*d.eye_left, *d.eye_right]),
                                   true_eyes) for d in out]
     assert errs and min(errs) < 0.25, f"no acceptable detection: {errs}"
+
+
+def test_train_pipeline_mechanics(tmp_path):
+    """Tiny end-to-end training run: every artifact gets written, loads,
+    and the loaded model detects WITHOUT errors (quality not asserted)."""
+    from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
+
+    out = str(tmp_path / "trained")
+    cfg = TrainConfig(num_faces=16, steps_per_face=10, disc_faces=16,
+                      disc_steps=10, eye_faces=12, eye_steps=10,
+                      age_samples=200, train_final_disc=False)
+    train_pipeline(out, cfg, verbose=False)
+    model = DetectionModel.load(out)
+    assert len(model.classifiers) == 22
+    assert "last_cut_off_face" in model.calibration
+    det = FaceDetector(model, DetectorConfig(smallest_face=0.4))
+    res = det.detect(np.random.RandomState(0).rand(120, 120)
+                     .astype(np.float32))
+    assert isinstance(res, list)
