@@ -309,8 +309,10 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
     pyr = None
     if samplings:
         s0 = min(samplings)
-        lh = int(np.ceil(im_height / s0)) + 2
-        lw = int(np.ceil(im_width / s0)) + 2
+        # Levels must fit at least one patch (large tracking scales can
+        # shrink the level below the crop size; the excess is zero-padded).
+        lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2)
+        lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2)
         crops = padded(np.concatenate(all_crops, axis=0).astype(np.int32))
         pyr = GridPyramidInfo(tuple(float(s) for s in samplings),
                               (lh, lw), jnp.asarray(crops))

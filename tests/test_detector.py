@@ -120,6 +120,25 @@ class TestDetectEndToEnd:
                 np.testing.assert_allclose(db.box, ds.box, rtol=1e-4,
                                            atol=1e-3)
 
+    def test_tracking_state_machine(self, loaded_model):
+        """track_single_face: after a hit, the next frame scans a narrowed
+        grid around the last face (FaceDetectUpdated.py:1189-1195,
+        face_analysis.py:576-585)."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4, track_single_face=True,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10,
+                             last_cut_off_face=1.01)
+        det = FaceDetector(loaded_model, cfg)
+        image = np.random.RandomState(5).rand(120, 140).astype(np.float32)
+        out1 = det.detect(image, estimate_attributes=False)
+        full_windows = det.windows_scanned
+        if out1:                       # permissive cutoffs: usually found
+            assert det.face_has_been_found
+            det.detect(image, estimate_attributes=False)
+            assert det.windows_scanned < full_windows
+            assert det.windows_scanned <= 9   # 3 x 3 tracking grid
+
     def test_cli_run_detection(self, random_artifact_dir, tmp_path):
         """The pfa-detect code path end to end, including the output file."""
         from pyfaceanalysis_tpu.apps.detect import run_detection
