@@ -201,10 +201,18 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
     detector = FaceDetector(model, cfg)
 
     truth = None
+    stage_eval = None
     if coordinates_filename or true_coordinates_file:
-        from pyfaceanalysis_tpu.engine.evaluation import GroundTruthEvaluator
+        from pyfaceanalysis_tpu.engine.evaluation import (
+            GroundTruthEvaluator,
+            PerStageEvaluator,
+        )
         truth = GroundTruthEvaluator.from_files(coordinates_filename,
                                                 true_coordinates_file)
+        # Per-stage diagnostics (reference FaceDetectUpdated.py:780-931):
+        # enabled alongside the coordinates file; needs the cascade trace.
+        stage_eval = PerStageEvaluator.from_files(
+            model, cfg, coordinates_filename, true_coordinates_file)
 
     total_windows = 0
     total_faces = 0
@@ -266,7 +274,8 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
         image, factor = im_io.load_image(
             img_fn, cfg.prescale_size if cfg.image_prescaling else None)
         benchmark.add_task_from_previous_time("Image loaded or captured")
-        detections = detector.detect(image, collect_trace=display_plots)
+        detections = detector.detect(
+            image, collect_trace=display_plots or stage_eval is not None)
         benchmark.add_task_from_previous_time("Full detection pass")
         if display_plots and detector.last_trace is not None:
             from pyfaceanalysis_tpu import viz
@@ -295,7 +304,11 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
                 print(f"  box={tuple(round(v, 1) for v in d.box)} "
                       f"angle={d.angle:.1f} conf={d.confidence:.3f}{extra}")
         if truth is not None:
-            truth.record(img_fn, detections)
+            truth.record(img_fn, detections, prescale_factor=factor)
+        if stage_eval is not None and detector.last_trace is not None:
+            stage_eval.record_image(img_fn, image.shape,
+                                    detector.last_trace,
+                                    prescale_factor=factor)
         if save_normalized or save_patches:
             _save_side_outputs(image, detections, save_patches,
                                save_normalized, i)
@@ -315,6 +328,8 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
               f"{total_windows} windows in {dt:.2f}s "
               f"({total_windows / max(dt, 1e-9):.0f} windows/s)")
         benchmark.display()
+    if stage_eval is not None:
+        stage_eval.report()
     if truth is not None:
         truth.report()
     return 0
@@ -322,29 +337,46 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
 
 def _save_side_outputs(image, detections, save_patches, save_normalized,
                        index) -> None:
-    """saved_patches/*.jpg + pose-normalized crops
-    (FaceDetectUpdated.py:934-944, face_analysis.py:983-1013)."""
+    """saved_patches/*.jpg raw patches (FaceDetectUpdated.py:934-944) and
+    POSE-NORMALIZED face crops (face_analysis.py:983-1013: method
+    eyes_inferred-mouth_area, centering mid_eyes_inferred-mouth, out
+    256x192) under normalized_face_detections/. The reference normalizes
+    with box-approximated eyes and a random output index; here the REFINED
+    detected eyes and a deterministic image/face index are used."""
     import numpy as np
 
     from pyfaceanalysis_tpu.io import images as im_io
     from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
 
-    os.makedirs("saved_patches", exist_ok=True)
-    import jax.numpy as jnp
-    boxes = np.asarray([d.box for d in detections], np.float32)
-    angles = np.asarray([d.angle for d in detections], np.float32)
-    if len(boxes) == 0:
+    if len(detections) == 0:
         return
-    patches = np.asarray(extract_patches_rotate(
-        jnp.asarray(image), jnp.asarray(boxes), jnp.asarray(angles),
-        (64, 64)))
-    for j, p in enumerate(patches):
-        if save_patches:
-            im_io.save_image(f"saved_patches/patch_im{index:03d}_{j:02d}.jpg",
-                             p)
-        if save_normalized:
+    import jax.numpy as jnp
+    if save_patches:
+        os.makedirs("saved_patches", exist_ok=True)
+        boxes = np.asarray([d.box for d in detections], np.float32)
+        angles = np.asarray([d.angle for d in detections], np.float32)
+        patches = np.asarray(extract_patches_rotate(
+            jnp.asarray(image), jnp.asarray(boxes), jnp.asarray(angles),
+            (64, 64)))
+        for j, p in enumerate(patches):
             im_io.save_image(
-                f"saved_patches/normalized_im{index:03d}_{j:02d}.jpg", p)
+                f"saved_patches/patch_im{index:03d}_{j:02d}.jpg", p)
+    if save_normalized:
+        from pyfaceanalysis_tpu.normalization import normalize_image
+        os.makedirs("normalized_face_detections", exist_ok=True)
+        dev_image = jnp.asarray(image)
+        for j, d in enumerate(detections):
+            coords = np.array([*d.eye_left, *d.eye_right, 0.0, 0.0],
+                              np.float32)
+            out = np.asarray(normalize_image(
+                dev_image, coords,
+                normalization_method="eyes_inferred-mouth_area",
+                centering_mode="mid_eyes_inferred-mouth",
+                rotation_mode="EyeLineRotation",
+                out_size=(256, 192)))
+            im_io.save_image(
+                f"normalized_face_detections/EyeN_im{index:03d}_{j:02d}.jpg",
+                out)
 
 
 if __name__ == "__main__":

@@ -1,17 +1,30 @@
 """Ground-truth-driven evaluation (the reference's built-in benchmark).
 
-Reference: the eval blocks woven through the main loop
-(FaceDetectUpdated.py:207-217, 780-931, 1048-1156, 1287-1377) with metric
-definitions in face_analysis.py:158-181: a detection counts as a true
-positive when its relative eye error (max per-eye distance / inter-eye
-distance) is below 0.25; per-image relative box/eye errors are accumulated
-into mean/std/RMSE summaries plus FAR/FRR-style counters.
+Two evaluators:
+
+- :class:`GroundTruthEvaluator` -- final-detection quality: TP/FP/FN +
+  relative eye-error stats over the written detections. Multi-face aware
+  (the reference assumed one face per image; group photos need per-face
+  greedy matching).
+- :class:`PerStageEvaluator` -- the reference's per-NETWORK diagnostics
+  (FaceDetectUpdated.py:207-217, 780-931, 1287-1377; metric definitions
+  face_analysis.py:158-181): after every cascade stage, each surviving
+  window is tested for being "responsible" for a ground-truth face
+  (original grid center within the acceptance radii, face scale within the
+  stage's scale envelope); responsible windows accumulate rel_bx / rel_by /
+  rel_scale / rel_eye error statistics (mean/std/RMSE), TP/FP/FN counters,
+  FAR/FRR and offending-image lists. This is the tool that localizes WHERE
+  in the cascade detection quality is lost.
+
+A detection counts as a true positive when its relative eye error (max
+per-eye distance / inter-eye distance) is below 0.25 (the reference's
+acceptance criterion, FaceDetectUpdated.py:887,1122).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -19,12 +32,25 @@ from pyfaceanalysis_tpu.engine.nms import relative_eye_error_np
 from pyfaceanalysis_tpu.io.writers import load_true_coordinates
 
 
+def _load_truth_multi(coordinates_filename: Optional[str],
+                      true_coordinates_file: Optional[str]
+                      ) -> Dict[str, np.ndarray]:
+    """basename -> (K, 14) coordinate rows (K faces per image)."""
+    fn = coordinates_filename or true_coordinates_file
+    filenames, coords = load_true_coordinates("", fn)
+    truth: Dict[str, List[np.ndarray]] = {}
+    for f, c in zip(filenames, coords):
+        truth.setdefault(os.path.basename(f), []).append(c)
+    return {k: np.stack(v) for k, v in truth.items()}
+
+
 class GroundTruthEvaluator:
-    """Accumulates detection-quality statistics against eye annotations."""
+    """Final-detection statistics against eye annotations (multi-face)."""
 
     def __init__(self, truth: Dict[str, np.ndarray],
                  acceptance: float = 0.25):
-        self.truth = truth              # basename -> (14,) coordinate row
+        # basename -> (K, 14) rows; accepts legacy (14,) single rows too.
+        self.truth = {k: np.atleast_2d(v) for k, v in truth.items()}
         self.acceptance = acceptance
         self.true_positives = 0
         self.false_positives = 0
@@ -36,30 +62,36 @@ class GroundTruthEvaluator:
     def from_files(coordinates_filename: Optional[str] = None,
                    true_coordinates_file: Optional[str] = None
                    ) -> "GroundTruthEvaluator":
-        fn = coordinates_filename or true_coordinates_file
-        filenames, coords = load_true_coordinates("", fn)
-        truth = {os.path.basename(f): c for f, c in zip(filenames, coords)}
-        return GroundTruthEvaluator(truth)
+        return GroundTruthEvaluator(
+            _load_truth_multi(coordinates_filename, true_coordinates_file))
 
-    def record(self, image_filename: str, detections) -> None:
+    def record(self, image_filename: str, detections,
+               prescale_factor: float = 1.0) -> None:
+        """``prescale_factor`` maps annotation coordinates into the
+        detection frame (detections are reported in the PRESCALED frame,
+        FaceDetectUpdated.py:1258-1278)."""
         key = os.path.basename(image_filename)
         if key not in self.truth:
             return
-        row = self.truth[key]
-        true_eyes = row[0:4]
-        matched = False
+        rows = self.truth[key] * prescale_factor
+        matched = np.zeros(len(rows), bool)
         for d in detections:
             eyes = np.array([*d.eye_left, *d.eye_right])
-            err = relative_eye_error_np(eyes, true_eyes)
-            if err < self.acceptance:
-                if not matched:
+            errs = np.array([relative_eye_error_np(eyes, row[0:4])
+                             for row in rows])
+            j = int(np.argmin(errs))
+            if errs[j] < self.acceptance:
+                if not matched[j]:
                     self.true_positives += 1
-                    self.eye_errors.append(err)
-                matched = True
+                    self.eye_errors.append(float(errs[j]))
+                    matched[j] = True
+                # extra detections of an already-matched face are NOT FPs:
+                # NMS keeps at most one, and duplicates match the same truth
             else:
                 self.false_positives += 1
-        if not matched:
-            self.false_negatives += 1
+        misses = int((~matched).sum())
+        if misses:
+            self.false_negatives += misses
             self.offending_images.append(image_filename)
 
     def report(self) -> str:
@@ -79,6 +111,157 @@ class GroundTruthEvaluator:
                          f"rmse={np.sqrt((errs ** 2).mean()):.4f}")
         if self.offending_images:
             lines.append(f"  offending images: {self.offending_images}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+
+class PerStageEvaluator:
+    """Per-cascade-stage TP/FP/FN + error statistics (reference
+    FaceDetectUpdated.py:780-931 semantics, multi-face aware).
+
+    Feed it, per image, the initial grid state and the per-stage trace from
+    ``FaceDetector.detect(collect_trace=True)``.
+    """
+
+    def __init__(self, truth: Dict[str, np.ndarray], model, cfg,
+                 acceptance: float = 0.25):
+        from pyfaceanalysis_tpu.config import DESIRED_SAMPLING
+
+        self.truth = {k: np.atleast_2d(v) for k, v in truth.items()}
+        self.model = model
+        self.cfg = cfg
+        self.acceptance = acceptance
+        geom = model.spec.face_geom
+        self.geom = geom
+        self.min_scale_radio = geom.mins / DESIRED_SAMPLING
+        self.max_scale_radio = geom.maxs / DESIRED_SAMPLING
+        self.stage_names = [f"{p.kind}{p.serial}" for p in model.plan]
+        S = len(self.stage_names)
+        self.true_positives = np.zeros(S, np.int64)
+        self.false_positives = np.zeros(S, np.int64)
+        self.false_negatives = np.zeros(S, np.int64)
+        self.active_boxes = np.zeros(S, np.int64)
+        self.num_boxes = np.zeros(S, np.int64)
+        self.num_faces_seen = 0
+        # per-stage lists of (rel_bx, rel_by, rel_scale, rel_eye) rows
+        self.errors: List[List[Tuple[float, float, float, float]]] = \
+            [[] for _ in range(S)]
+        self.offending_images: List[List[str]] = [[] for _ in range(S)]
+
+    @staticmethod
+    def from_files(model, cfg, coordinates_filename=None,
+                   true_coordinates_file=None) -> "PerStageEvaluator":
+        return PerStageEvaluator(
+            _load_truth_multi(coordinates_filename, true_coordinates_file),
+            model, cfg)
+
+    def record_image(self, image_filename: str, image_shape: Tuple[int, int],
+                     trace, prescale_factor: float = 1.0) -> None:
+        """trace: [(boxes, angles, mask, conf)] per stage, from
+        detect(collect_trace=True) (compaction disabled, so indices stay
+        aligned with the iter-0 grid)."""
+        from pyfaceanalysis_tpu import geometry
+        from pyfaceanalysis_tpu.engine import cascade as cascade_mod
+
+        key = os.path.basename(image_filename)
+        if key not in self.truth or trace is None:
+            return
+        rows = self.truth[key] * prescale_factor
+        im_h, im_w = image_shape
+        state, n_real, _ = cascade_mod.make_grid_state(
+            im_w, im_h, self.geom, self.cfg)
+        g_boxes = np.asarray(state.boxes)[:n_real]
+        g_cx = (g_boxes[:, 0] + g_boxes[:, 2]) / 2.0
+        g_cy = (g_boxes[:, 1] + g_boxes[:, 3]) / 2.0
+        g_side = np.abs(g_boxes[:, 2] - g_boxes[:, 0])
+        max_dx = np.asarray(state.max_dx)[:n_real]
+        max_dy = np.asarray(state.max_dy)[:n_real]
+
+        K = len(rows)
+        self.num_faces_seen += K
+        # responsibility masks per face (against the ORIGINAL grid,
+        # reference :866-868)
+        resp = np.zeros((K, n_real), bool)
+        in_envelope = np.zeros(K, bool)
+        for f, row in enumerate(rows):
+            fc_x, fc_y = row[8], row[9]
+            gt_side = abs(row[12] - row[10])
+            ratio = gt_side / g_side
+            resp[f] = ((np.abs(fc_x - g_cx) <= max_dx)
+                       & (np.abs(fc_y - g_cy) <= max_dy)
+                       & (ratio > self.min_scale_radio)
+                       & (ratio < self.max_scale_radio))
+            in_envelope[f] = bool(((ratio > self.min_scale_radio)
+                                   & (ratio < self.max_scale_radio)).any())
+
+        rw = self.geom.regression_width
+        rh = self.geom.regression_height
+        for si, (boxes, angles, mask, conf) in enumerate(trace):
+            mask = np.asarray(mask)[:n_real]
+            boxes_s = np.asarray(boxes)[:n_real]
+            alive = np.where(mask)[0]
+            self.num_boxes[si] += len(alive)
+            app_eyes = np.asarray(geometry.compute_approximate_eye_coordinates(
+                boxes_s[alive]))
+            bcx = (boxes_s[alive, 0] + boxes_s[alive, 2]) / 2.0
+            bcy = (boxes_s[alive, 1] + boxes_s[alive, 3]) / 2.0
+            bside = np.abs(boxes_s[alive, 2] - boxes_s[alive, 0])
+            responsible_any = np.zeros(len(alive), bool)
+            for f, row in enumerate(rows):
+                ridx = np.where(resp[f][alive])[0]
+                face_detected = False
+                for j in ridx:
+                    responsible_any[j] = True
+                    self.active_boxes[si] += 1
+                    gt_side = abs(row[12] - row[10])
+                    rel_bx = (row[8] - bcx[j]) / gt_side * rw
+                    rel_by = (row[9] - bcy[j]) / gt_side * rh
+                    rel_scale = gt_side / max(bside[j], 1e-9) - 1.0
+                    rel_eye = float(relative_eye_error_np(app_eyes[j],
+                                                          row[0:4]))
+                    self.errors[si].append((float(rel_bx), float(rel_by),
+                                            float(rel_scale), rel_eye))
+                    if rel_eye < self.acceptance:
+                        face_detected = True
+                        self.true_positives[si] += 1
+                    else:
+                        self.false_positives[si] += 1
+                if not face_detected and in_envelope[f]:
+                    self.false_negatives[si] += 1
+                    if len(ridx) == 0:
+                        self.offending_images[si].append(image_filename)
+            # windows responsible for NO face are false positives
+            self.false_positives[si] += int((~responsible_any).sum())
+
+    def report(self) -> str:
+        lines = ["per-stage ground-truth evaluation "
+                 "(reference FaceDetectUpdated.py:1298-1377 format):"]
+        for i, name in enumerate(self.stage_names):
+            n_boxes = self.true_positives[i] + self.false_positives[i]
+            n_faces = self.true_positives[i] + self.false_negatives[i]
+            n_nofaces = max(n_boxes - n_faces, 1)
+            far = self.false_positives[i] / n_nofaces
+            frr = self.false_negatives[i] / max(n_faces, 1)
+            lines.append(
+                f"After {name:7s}: {self.true_positives[i]:4d} TP "
+                f"{self.active_boxes[i]:4d} active "
+                f"{self.num_boxes[i]:5d} boxes / "
+                f"{self.false_positives[i]:5d} FP "
+                f"{self.false_negatives[i]:3d} FN: "
+                f"FAR={far:.4f} FRR={frr:.4f}")
+            errs = np.asarray(self.errors[i])
+            if len(errs):
+                names = ("rel_bx", "rel_by", "rel_scale", "rel_eye")
+                stats = "  ".join(
+                    f"{n}: mean={errs[:, k].mean():+.3f} "
+                    f"std={errs[:, k].std():.3f} "
+                    f"rmse={np.sqrt((errs[:, k] ** 2).mean()):.3f}"
+                    for k, n in enumerate(names))
+                lines.append(f"    {stats}")
+            if self.offending_images[i]:
+                offend = sorted(set(self.offending_images[i]))
+                lines.append(f"    offending images: {offend}")
         out = "\n".join(lines)
         print(out)
         return out

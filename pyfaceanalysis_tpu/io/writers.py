@@ -55,10 +55,15 @@ def load_true_coordinates(base_dir: str, filename: str
     """"Normalization file" ground-truth loader (face_analysis.py:246-310).
 
     Format: repeated [image filename line; coordinate line with 6 or 8
-    floats: eyeL xy, eyeR xy, mouth xy[, nose xy]]. Returns (filenames,
-    (N, 14) array [elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy, bx0, by0,
-    bx1, by1]) where the face box is derived from the eye-mouth geometry the
-    same way the reference does it.
+    floats]. 8 floats = eyeL xy, eyeR xy, NOSE xy, MOUTH xy; 6 floats =
+    eyeL xy, eyeR xy, NOSE xy with the mouth approximated "as if the face
+    were perfectly vertical": mouth_x = mid-eyes x, mouth_y = mid-eyes y +
+    (erx - elx) * 42/37 (exact reference semantics).
+
+    Returns (filenames, (N, 14) array [elx, ely, erx, ery, nx, ny, mx, my,
+    fcx, fcy, bx0, by0, bx1, by1]). The face box is the reference's: center
+    at mid(mid-eyes, mouth), side 128 * sqrt(triangle_area /
+    ((37/0.825)*(42/0.825)/2)).
     """
     filenames: List[str] = []
     coords: List[List[float]] = []
@@ -69,21 +74,21 @@ def load_true_coordinates(base_dir: str, filename: str
         fn = lines[i]
         vals = [float(v) for v in lines[i + 1].replace(",", " ").split()]
         i += 2
-        if len(vals) == 6:
-            elx, ely, erx, ery, mx, my = vals
-            nx = (elx + erx) / 2.0
-            ny = (ely + ery + my) / 3.0
-        elif len(vals) >= 8:
+        if len(vals) >= 8:
             elx, ely, erx, ery, nx, ny, mx, my = vals[:8]
+        elif len(vals) == 6:
+            elx, ely, erx, ery, nx, ny = vals
+            mx = (elx + erx) / 2.0
+            my = (ely + ery) / 2.0 + (erx - elx) * 42.0 / 37.0
         else:
             continue
         eyes_mx, eyes_my = (elx + erx) / 2.0, (ely + ery) / 2.0
         fcx, fcy = (eyes_mx + mx) / 2.0, (eyes_my + my) / 2.0
         dist_eyes = math.hypot(erx - elx, ery - ely)
-        # Face box spanning the canonical 128-unit frame at sampling 0.825:
-        # box side = dist_eyes * 128 * 0.825 / 37 (inverse of the eye-box
-        # geometry, face_analysis.py:24-58).
-        side = dist_eyes * 128.0 * 0.825 / 37.0
+        height_triangle = math.hypot(eyes_mx - mx, eyes_my - my)
+        current_area = dist_eyes * height_triangle / 2.0
+        desired_area = (37.0 / 0.825) * (42.0 / 0.825) / 2.0
+        side = 128.0 * math.sqrt(current_area / max(desired_area, 1e-12))
         box = [fcx - side / 2, fcy - side / 2, fcx + side / 2, fcy + side / 2]
         filenames.append(os.path.join(base_dir, fn) if base_dir else fn)
         coords.append([elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy] + box)

@@ -1,0 +1,119 @@
+"""Tests for the ground-truth evaluators (engine.evaluation).
+
+Multi-face final-detection accounting + the per-stage evaluator's
+responsible-box machinery (reference FaceDetectUpdated.py:780-931).
+"""
+
+import numpy as np
+import pytest
+
+from pyfaceanalysis_tpu.engine.evaluation import (
+    GroundTruthEvaluator,
+    PerStageEvaluator,
+)
+from pyfaceanalysis_tpu.io.writers import load_true_coordinates
+
+
+class _Det:
+    def __init__(self, el, er):
+        self.eye_left = el
+        self.eye_right = er
+
+
+def _truth_row(elx, ely, erx, ery):
+    """14-float row like load_true_coordinates emits (upright face)."""
+    mx = (elx + erx) / 2.0
+    my = (ely + ery) / 2.0 + (erx - elx) * 42.0 / 37.0
+    fcx, fcy = ((elx + erx) / 2.0 + mx) / 2.0, ((ely + ery) / 2.0 + my) / 2.0
+    d = np.hypot(erx - elx, ery - ely)
+    side = d * 128.0 * 0.825 / 37.0
+    return np.array([elx, ely, erx, ery, mx, my - d, mx, my, fcx, fcy,
+                     fcx - side / 2, fcy - side / 2,
+                     fcx + side / 2, fcy + side / 2])
+
+
+def test_multiface_final_evaluation():
+    truth = {"img.jpg": np.stack([_truth_row(100, 100, 140, 100),
+                                  _truth_row(300, 100, 340, 100)])}
+    ev = GroundTruthEvaluator(truth)
+    dets = [
+        _Det((101, 101), (139, 100)),     # matches face 0
+        _Det((500, 500), (540, 500)),     # matches nothing -> FP
+    ]
+    ev.record("img.jpg", dets)
+    assert ev.true_positives == 1
+    assert ev.false_positives == 1
+    assert ev.false_negatives == 1        # face 1 missed
+    assert ev.offending_images == ["img.jpg"]
+
+
+def test_six_float_rows_are_eyes_plus_nose():
+    """Reference semantics: values 5-6 of a 6-float row are the NOSE; the
+    mouth derives from eye geometry (face_analysis.py:262-272)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("img.jpg\n100.0 100.0 140.0 100.0 120.0 118.0\n")
+        name = f.name
+    fns, coords = load_true_coordinates("", name)
+    row = coords[0]
+    assert row[4] == 120.0 and row[5] == 118.0          # nose kept
+    np.testing.assert_allclose(row[6], 120.0)           # mouth_x = mid-eyes
+    np.testing.assert_allclose(row[7], 100.0 + 40.0 * 42.0 / 37.0)
+
+
+def test_per_stage_evaluator_counts(tmp_path):
+    """A centered synthetic face's responsible windows must register as
+    active boxes at stage 0, and the counters must stay consistent."""
+    import __graft_entry__
+    import jax.numpy as jnp
+
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine import cascade as cascade_mod
+
+    geom, plan, specs_tuple, net_params, clfs = __graft_entry__._toy_model()
+    cfg = DetectorConfig(bucket_sizes=(256,), mid_compact=0)
+
+    class _Model:
+        pass
+
+    class _Spec:
+        pass
+
+    model = _Model()
+    model.plan = plan
+    model.spec = _Spec()
+    model.spec.face_geom = geom
+
+    # Ground truth: a face exactly matching a grid window near the center.
+    state, n_real, _ = cascade_mod.make_grid_state(96, 96, geom, cfg)
+    g_boxes = np.asarray(state.boxes)[:n_real]
+    mid = len(g_boxes) // 2
+    b = g_boxes[mid]
+    side = (b[2] - b[0]) * 0.825              # nominal face size in the box
+    fcx, fcy = (b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0
+    d = side * 2 * 0.1752
+    el = (fcx - d / 2, fcy + side * -0.1989)
+    er = (fcx + d / 2, fcy + side * -0.1989)
+    mo = (fcx, fcy + side * 0.1989)
+    truth = {"img.jpg": np.array([
+        [*el, *er, fcx, fcy, *mo, fcx, fcy,
+         fcx - side / 2, fcy - side / 2, fcx + side / 2, fcy + side / 2]])}
+
+    ev = PerStageEvaluator(truth, model, cfg)
+    image = jnp.zeros((96, 96), jnp.float32)
+    out, trace = cascade_mod.run_cascade(
+        plan, specs_tuple, geom, cfg,
+        (geom.subimage_height, geom.subimage_width),
+        image, net_params, clfs, state, collect_trace=True)
+    ev.record_image("img.jpg", (96, 96), trace)
+
+    assert ev.num_faces_seen == 1
+    assert ev.active_boxes[0] >= 1            # responsible window existed
+    # Counters are consistent: TP+FP = evaluated boxes at each stage.
+    for si in range(len(plan)):
+        assert (ev.true_positives[si] + ev.false_positives[si]
+                == ev.num_boxes[si])
+    report = ev.report()
+    assert "After Disc1" in report
