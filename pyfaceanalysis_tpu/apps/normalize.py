@@ -5,11 +5,13 @@ coordinate file (alternating filename / 6-float eye+mouth lines), normalize
 each face and write JPEGs named by an output pattern. Supported modes mirror
 the reference's:
 
-    mid_eyes_mouth_horiz              (eyes_mouth_area, eye-line rotation)
-    mid_eyes_inferred-mouth_horiz     (inferred mouth)
-    mid_eyes_inferred-mouthZ_horiz    (Z frame, 2x zoom-out)
-    background                        (noFace centering: negative samples)
-    leftEye / rightEye                (per-eye crops; rightEye mirrored)
+    mid_eyes_mouth_horiz                 (eyes_mouth_area, eye-line rotation)
+    mid_eyes_inferred-mouth_horiz        (inferred mouth)
+    mid_eyes_inferred-mouthZ_horiz       (Z frame, 2x zoom-out)
+    mid_eyes_inferred-mouthZ4_horiz      (age-estimation frame, 256x260)
+    mid_eyes_inferred-mouthZ4_horiz-Test (17x20 debug frame)
+    background                 (noFace centering: 10 negative crops/face)
+    leftEye / rightEye         (per-eye Z crops; rightEye mirrored)
 
 Faces with inter-eye distance < 5 px are skipped like the reference (:461).
 """
@@ -23,18 +25,29 @@ from typing import List, Optional
 
 import numpy as np
 
+# mode -> (method, centering, rotation, out_size override, tries per face)
+# (face_normalization_tools.py:368-438; Z4 = the age-estimation frame,
+# Z4-Test = its 17x20 debug frame, background writes 10 crops per face)
 _MODES = {
     "mid_eyes_mouth_horiz": ("eyes_mouth_area", "mid_eyes_mouth",
-                             "EyeLineRotation"),
+                             "EyeLineRotation", None, 1),
     "mid_eyes_inferred-mouth_horiz": ("eyes_inferred-mouth_area",
                                       "mid_eyes_inferred-mouth",
-                                      "EyeLineRotation"),
+                                      "EyeLineRotation", None, 1),
     "mid_eyes_inferred-mouthZ_horiz": ("eyes_inferred-mouth_areaZ",
                                        "mid_eyes_inferred-mouth",
-                                       "EyeLineRotation"),
-    "background": ("eyes_mouth_area", "noFace", "noRotation"),
-    "leftEye": ("eyes_mouth_area", "eyeL", "EyeLineRotation"),
-    "rightEye": ("eyes_mouth_area", "eyeR", "EyeLineRotation"),
+                                       "EyeLineRotation", None, 1),
+    "mid_eyes_inferred-mouthZ4_horiz": ("eyes_inferred-mouth_areaZ",
+                                        "mid_eyes_inferred-mouth",
+                                        "EyeLineRotation", (256, 260), 1),
+    "mid_eyes_inferred-mouthZ4_horiz-Test": (
+        "eyes_inferred-mouth_areaZ-Test", "mid_eyes_inferred-mouth",
+        "EyeLineRotation", (17, 20), 1),
+    "background": ("eyes_mouth_area", "noFace", "noRotation", None, 10),
+    "leftEye": ("eyes_inferred-mouth_areaZ", "eyeL", "EyeLineRotation",
+                None, 1),
+    "rightEye": ("eyes_inferred-mouth_areaZ", "eyeR", "EyeLineRotation",
+                 None, 1),
 }
 
 
@@ -56,7 +69,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from pyfaceanalysis_tpu.io import images as im_io
     from pyfaceanalysis_tpu.io.writers import load_true_coordinates
 
-    method, centering, rotation = _MODES[args.mode]
+    method, centering, rotation, size_override, num_tries = _MODES[args.mode]
     filenames, coords = load_true_coordinates(args.base_dir,
                                               args.coordinate_file)
     rng = np.random.RandomState(args.seed)
@@ -73,13 +86,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"skipping {fn}: inter-eye distance {dist_eyes:.1f} < 5")
             continue
         image, _ = im_io.load_image(fn, prescale_size=None)
-        out = normalization.normalize_image(
-            image, (elx, ely, erx, ery, mx, my),
-            normalization_method=method, centering_mode=centering,
-            rotation_mode=rotation,
-            out_size=(args.out_width, args.out_height), rng=rng)
-        im_io.save_image(args.output_pattern % written, out, quality=90)
-        written += 1
+        out_size = size_override or (args.out_width, args.out_height)
+        for _try in range(num_tries):
+            out = normalization.normalize_image(
+                image, (elx, ely, erx, ery, mx, my),
+                normalization_method=method, centering_mode=centering,
+                rotation_mode=rotation, out_size=out_size, rng=rng)
+            im_io.save_image(args.output_pattern % written, out, quality=90)
+            written += 1
     print(f"wrote {written} normalized images")
     return 0
 

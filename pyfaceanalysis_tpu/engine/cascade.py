@@ -313,7 +313,17 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
         # shrink the level below the crop size; the excess is zero-padded).
         lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2)
         lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2)
-        crops = padded(np.concatenate(all_crops, axis=0).astype(np.int32))
+        crops_real = np.concatenate(all_crops, axis=0).astype(np.int32)
+        # Tracking-mode grids can place crop origins outside the level;
+        # crop_patches uses lax.dynamic_slice whose CLAMPED start would
+        # silently shift the patch content off the cascade-state box. Fall
+        # back to the rotated gather (zero-fill keeps alignment) whenever
+        # any origin is out of [0, level - patch].
+        if ((crops_real[:, 1] < 0).any() or (crops_real[:, 2] < 0).any()
+                or (crops_real[:, 1] > lh - sh).any()
+                or (crops_real[:, 2] > lw - sw).any()):
+            return state, n_real, None
+        crops = padded(crops_real)
         pyr = GridPyramidInfo(tuple(float(s) for s in samplings),
                               (lh, lw), jnp.asarray(crops))
     return state, n_real, pyr

@@ -157,9 +157,11 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
         (geom.subimage_height, geom.subimage_width),
         image, det_params, det_clfs, state, pyramid=pyramid, crops=crops)
 
-    # Device-side compaction: alive rows first (stable argsort of ~mask).
+    # Device-side compaction: alive rows first, best (lowest) Disc
+    # confidence first within them, so a crowded scene overflowing k_out
+    # drops the weakest survivors, not arbitrary grid positions.
     k_out = min(k_out, out.mask.shape[0])
-    order = jnp.argsort(jnp.logical_not(out.mask))
+    order = jnp.argsort(jnp.where(out.mask, out.conf, 2.0))
     idx = order[:k_out]
     boxes = out.boxes[idx]
     angles = out.angles[idx]
@@ -198,6 +200,12 @@ class FaceDetector:
                 and "last_cut_off_face" in calib):
             config = dataclasses.replace(
                 config, last_cut_off_face=float(calib["last_cut_off_face"]))
+        if config.detection_contrast_normalize is None:
+            # The networks were trained either on raw or on per-patch
+            # contrast-normalized pixels; inference must match the model.
+            config = dataclasses.replace(
+                config, detection_contrast_normalize=bool(
+                    calib.get("detection_contrast_normalize", False)))
         self.model = model
         self.config = config
         self.face_has_been_found = False
@@ -218,12 +226,22 @@ class FaceDetector:
 
     def _to_canvas(self, image: np.ndarray) -> jax.Array:
         """Pads into the fixed canvas and ships it host->device as uint8
-        (4x smaller than float32 on the wire), converting on device."""
+        (4x smaller than float32 on the wire), converting on device.
+
+        Inputs larger than the canvas (possible only with
+        --image_prescaling=0) GROW it to the next 512 multiple -- one extra
+        compile instead of silently cropping faces away."""
         H, W = self._canvas_hw
+        if image.shape[0] > H or image.shape[1] > W:
+            side = int(-(-max(image.shape) // 512) * 512)
+            print(f"notice: input {image.shape} exceeds the device canvas "
+                  f"({H}, {W}); growing to ({side}, {side}) "
+                  "(new compilation)")
+            self._canvas_hw = (side, side)
+            H = W = side
         canvas = np.zeros((H, W), np.uint8)
-        h = min(image.shape[0], H)
-        w = min(image.shape[1], W)
-        canvas[:h, :w] = np.clip(np.asarray(image[:h, :w]) * 255.0,
+        h, w = image.shape
+        canvas[:h, :w] = np.clip(np.asarray(image) * 255.0,
                                  0, 255).astype(np.uint8)
         return jnp.asarray(canvas).astype(jnp.float32) / 255.0
 
@@ -370,33 +388,48 @@ class FaceDetector:
                 tuple(eye_net.params), model.classifier("EyeLX"),
                 model.classifier("EyeLY"), state, pyramid, crops))
 
-        # Phase 2: pull results (device queue drains while we postprocess).
-        out: List[List[Detection]] = []
-        for i, fut in enumerate(futures):
+        # Phase 2: pull results (device queue drains while we postprocess),
+        # NMS per image on host, then ONE batched ARG-head dispatch over all
+        # surviving faces of the whole image batch (no per-image sync).
+        purged_per_image: List[np.ndarray] = []
+        for fut in futures:
             block = np.asarray(fut)
             rows = block[block[:, 10] > 0.5][:, :10]
-            if len(rows) == 0:
-                out.append([])
-                continue
-            purged = nms_mod.purge_detections(rows, cfg.purge_threshold)
+            purged_per_image.append(
+                nms_mod.purge_detections(rows, cfg.purge_threshold)
+                if len(rows) else np.zeros((0, 10)))
+
+        ages = stds = races = genders = None
+        want_attrs = estimate_attributes and (
+            cfg.estimate_age or cfg.estimate_race or cfg.estimate_gender)
+        counts = [len(p) for p in purged_per_image]
+        if want_attrs and sum(counts) > 0:
+            all_rows = np.concatenate(
+                [p for p in purged_per_image if len(p)], axis=0)
+            img_idx = np.concatenate(
+                [np.full(c, i, np.int32) for i, c in enumerate(counts)])
+            stack = jnp.stack(device_images)
+            ages, stds, races, genders = \
+                heads_mod.estimate_age_race_gender_multi(
+                    stack, all_rows, img_idx, model)
+
+        out: List[List[Detection]] = []
+        offset = 0
+        for purged in purged_per_image:
             dets = []
-            ages = stds = races = genders = None
-            if estimate_attributes and (cfg.estimate_age or cfg.estimate_race
-                                        or cfg.estimate_gender):
-                ages, stds, races, genders = \
-                    heads_mod.estimate_age_race_gender(
-                        device_images[i], purged, model)
             for j, r in enumerate(purged):
+                k = offset + j
                 dets.append(Detection(
                     box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
                     eye_left=(float(r[5]), float(r[6])),
                     eye_right=(float(r[7]), float(r[8])),
                     confidence=float(r[9]),
-                    age=None if ages is None else float(ages[j]),
-                    age_std=None if stds is None else float(stds[j]),
-                    race_value=None if races is None else float(races[j]),
+                    age=None if ages is None else float(ages[k]),
+                    age_std=None if stds is None else float(stds[k]),
+                    race_value=None if races is None else float(races[k]),
                     gender_value=None if genders is None
-                    else float(genders[j])))
+                    else float(genders[k])))
+            offset += len(purged)
             out.append(dets)
         return out
 

@@ -36,18 +36,24 @@ from pyfaceanalysis_tpu.training.datasets import (
 
 @partial(jax.jit, static_argnames=("specs", "dims"))
 def _arg_forward(specs, dims: Tuple[int, int, int],
-                 image: jax.Array, net_params, clf_age, clf_race, clf_gender,
-                 centers: jax.Array, angles: jax.Array, sfs: jax.Array):
-    """Batched Z-frame normalization + patch + features + three regressions.
+                 images: jax.Array, net_params, clf_age, clf_race,
+                 clf_gender, centers: jax.Array, angles: jax.Array,
+                 sfs: jax.Array, img_idx: jax.Array):
+    """Batched Z-frame normalization + patch + features + three regressions,
+    over faces drawn from a STACK of images (one program for a whole batch
+    of photos -- no per-image head dispatch).
 
-    centers: (N, 2), angles: (N,) deg, sfs: (N,) source px per Z px.
+    images: (B, H, W); centers: (N, 2), angles: (N,) deg, sfs: (N,) source
+    px per Z px, img_idx: (N,) int32 image of each face.
     """
+    B, H, W = images.shape
+    flat_img = images.reshape(-1)
     zh, zw = Z_SIZE
     fr, fc, tx, ty = age_patch_constants()
 
-    def one_face(center, angle, sf):
+    def one_face(center, angle, sf, idx):
         # Traced-parameter version of normalization.sample_frame (which takes
-        # a static FrameParams dataclass).
+        # a static FrameParams dataclass), gathering from the image stack.
         X = jnp.arange(zw, dtype=jnp.float32) - (zw - 1) / 2.0
         Y = jnp.arange(zh, dtype=jnp.float32) - (zh - 1) / 2.0
         u = X[None, :] * sf
@@ -56,12 +62,29 @@ def _arg_forward(specs, dims: Tuple[int, int, int],
         c, s = jnp.cos(rad), jnp.sin(rad)
         sx = center[0] + c * u - s * v
         sy = center[1] + s * u + c * v
-        z = normalization._bilinear_gather(image, sx, sy)
+        base = idx.astype(jnp.int32) * (H * W)
+        px = sx - 0.5
+        py = sy - 0.5
+        ix0 = jnp.floor(px)
+        iy0 = jnp.floor(py)
+        tx_ = px - ix0
+        ty_ = py - iy0
+        ix0 = ix0.astype(jnp.int32)
+        iy0 = iy0.astype(jnp.int32)
+
+        def tap(iy, ix):
+            inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            lin = base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+            return jnp.where(inb, jnp.take(flat_img, lin, axis=0), 0.0)
+
+        top = tap(iy0, ix0) * (1 - tx_) + tap(iy0, ix0 + 1) * tx_
+        bot = tap(iy0 + 1, ix0) * (1 - tx_) + tap(iy0 + 1, ix0 + 1) * tx_
+        z = top * (1 - ty_) + bot * ty_
         patch = extract_centered_patch(z, AGE_SAMPLING, fr, fc, tx, ty,
                                        (96, 96))
         return patch[0]
 
-    patches = jax.vmap(one_face)(centers, angles, sfs)      # (N, 96, 96)
+    patches = jax.vmap(one_face)(centers, angles, sfs, img_idx)  # (N,96,96)
     flat = contrast_enhance_patches(patches.reshape(patches.shape[0], -1),
                                     obj_avg=0.0, obj_std=0.16)
     sl = apply_network(specs, net_params, flat)
@@ -70,6 +93,55 @@ def _arg_forward(specs, dims: Tuple[int, int, int],
     race = clf_race.regression(sl[:, :d_race])
     gender = clf_gender.regression(sl[:, :d_gender])
     return age, age_std, race, gender
+
+
+def _frame_arrays(rows: np.ndarray):
+    centers, angles, sfs = [], [], []
+    for row in rows:
+        coords = [row[5], row[6], row[7], row[8], 0.0, 0.0]
+        fp = normalization.frame_params(
+            coords, normalization_method="eyes_inferred-mouth_areaZ",
+            centering_mode="mid_eyes_inferred-mouth",
+            rotation_mode="EyeLineRotation", out_size=(Z_SIZE[1], Z_SIZE[0]))
+        centers.append([fp.center_x, fp.center_y])
+        angles.append(fp.angle_deg)
+        sfs.append(fp.sf)
+    return (np.asarray(centers, np.float32), np.asarray(angles, np.float32),
+            np.asarray(sfs, np.float32))
+
+
+def estimate_age_race_gender_multi(images: jax.Array, rows: np.ndarray,
+                                   img_idx: np.ndarray, model
+                                   ) -> Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]:
+    """Attribute heads for faces spread over an image STACK: one jitted
+    program for the whole batch. images: (B, H, W) device stack; rows:
+    (N, 10) purged detections; img_idx: (N,) image index per row."""
+    n = len(rows)
+    if n == 0:
+        z = np.zeros(0)
+        return z, z, z, z
+    centers, angles, sfs = _frame_arrays(rows)
+    # Pad the face batch to a small bucket so recompiles are rare.
+    bucket = max(4, 1 << (n - 1).bit_length())
+    pad = bucket - n
+    centers = np.pad(centers, ((0, pad), (0, 0)))
+    angles = np.pad(angles, (0, pad))
+    sfs = np.pad(sfs, (0, pad), constant_values=1.0)
+    idx = np.pad(np.asarray(img_idx, np.int32), (0, pad))
+
+    net = model.nets["net_age"]
+    age, age_std, race, gender = _arg_forward(
+        net.specs,
+        (model.clf_input_dim("Age"), model.clf_input_dim("Race"),
+         model.clf_input_dim("Gender")),
+        images, tuple(net.params),
+        model.classifier("Age"), model.classifier("Race"),
+        model.classifier("Gender"),
+        jnp.asarray(centers), jnp.asarray(angles), jnp.asarray(sfs),
+        jnp.asarray(idx))
+    return (np.asarray(age)[:n], np.asarray(age_std)[:n],
+            np.asarray(race)[:n], np.asarray(gender)[:n])
 
 
 def estimate_age_race_gender(image: jax.Array, rows: np.ndarray, model
@@ -81,34 +153,8 @@ def estimate_age_race_gender(image: jax.Array, rows: np.ndarray, model
     if n == 0:
         z = np.zeros(0)
         return z, z, z, z
-    centers, angles, sfs = [], [], []
-    for row in rows:
-        coords = [row[5], row[6], row[7], row[8], 0.0, 0.0]
-        fp = normalization.frame_params(
-            coords, normalization_method="eyes_inferred-mouth_areaZ",
-            centering_mode="mid_eyes_inferred-mouth",
-            rotation_mode="EyeLineRotation", out_size=(Z_SIZE[1], Z_SIZE[0]))
-        centers.append([fp.center_x, fp.center_y])
-        angles.append(fp.angle_deg)
-        sfs.append(fp.sf)
-    # Pad the face batch to a small bucket so recompiles are rare.
-    bucket = max(4, 1 << (n - 1).bit_length())
-    pad = bucket - n
-    centers = np.pad(np.asarray(centers, np.float32), ((0, pad), (0, 0)))
-    angles = np.pad(np.asarray(angles, np.float32), (0, pad))
-    sfs = np.pad(np.asarray(sfs, np.float32), (0, pad), constant_values=1.0)
-
-    net = model.nets["net_age"]
-    age, age_std, race, gender = _arg_forward(
-        net.specs,
-        (model.clf_input_dim("Age"), model.clf_input_dim("Race"),
-         model.clf_input_dim("Gender")),
-        image, tuple(net.params),
-        model.classifier("Age"), model.classifier("Race"),
-        model.classifier("Gender"),
-        jnp.asarray(centers), jnp.asarray(angles), jnp.asarray(sfs))
-    return (np.asarray(age)[:n], np.asarray(age_std)[:n],
-            np.asarray(race)[:n], np.asarray(gender)[:n])
+    return estimate_age_race_gender_multi(
+        jnp.asarray(image)[None], rows, np.zeros(n, np.int32), model)
 
 
 def save_age_estimation_images(image: jax.Array, rows: np.ndarray,
