@@ -127,6 +127,64 @@ def _cpu_reference_windows_per_sec(model, n_windows: int = 256) -> float:
     return n_windows / dt
 
 
+def _flops_per_window(model) -> float:
+    """Analytic MXU work per grid window: block-diagonal GEMMs of every
+    executed network layer + Gaussian quadratic forms per stage."""
+    total = 0
+    for st in model.plan:
+        if st.net_idx >= 0:
+            net = model.nets[model.det_net_names[st.net_idx]]
+            for node in net.params:
+                F, De, out = np.shape(node.W)
+                total += 2 * F * De * out
+        clf = model.classifiers[st.clf_idx]
+        D = int(clf.input_dim)
+        C = len(np.asarray(clf.avg_labels))
+        total += 2 * C * D * D
+    return float(total)
+
+
+def _device_profile(detector, image, runs: int = 10):
+    """Device-side seconds/image of the fused detection program: the image
+    is pushed once; ``runs`` dispatches are pipelined back-to-back and
+    fenced once, so host/dispatch overhead amortizes away and the number
+    approximates pure device execution (VERDICT round-1 weak #6: windows/s
+    alone hides the transfer-bound regime of tunneled setups)."""
+    from pyfaceanalysis_tpu.engine import cascade as cascade_mod
+    from pyfaceanalysis_tpu.engine import detector as detector_mod
+
+    cfg, model = detector.config, detector.model
+    geom = model.spec.face_geom
+    device_image = detector._to_canvas(image)
+    state, n_real, pyr = cascade_mod.make_grid_state(
+        image.shape[1], image.shape[0], geom, cfg)
+    use_pyr = (pyr is not None and
+               cfg.interpolation_formats[model.plan[0].serial] == "nearest")
+    eye_net = model.nets["net_eye"]
+
+    def call():
+        pyramid = crops = None
+        if use_pyr:
+            from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
+            pyramid = build_pyramid(device_image, pyr.scales, pyr.level_hw)
+            crops = pyr.crops
+        return detector_mod._detect_core(
+            model.plan, model.det_specs, geom, model.spec.eye_geom, cfg,
+            eye_net.specs, model.clf_input_dim("EyeLX"),
+            model.clf_input_dim("EyeLY"), cfg.max_detections,
+            device_image, model.det_params, model.det_clfs,
+            tuple(eye_net.params), model.classifier("EyeLX"),
+            model.classifier("EyeLY"), state, pyramid, crops)
+
+    call().block_until_ready()            # warm / compile
+    t0 = time.time()
+    outs = [call() for _ in range(runs)]
+    outs[-1].block_until_ready()
+    dt = (time.time() - t0) / runs
+    bytes_pushed = detector._canvas_hw[0] * detector._canvas_hw[1]  # uint8
+    return dt, n_real, bytes_pushed
+
+
 def main() -> int:
     from pyfaceanalysis_tpu.config import DetectorConfig
     from pyfaceanalysis_tpu.engine.detector import FaceDetector
@@ -154,6 +212,14 @@ def main() -> int:
     dt_b = (time.time() - t0) / TIMED_RUNS / len(batch)
     wps_batched = n_windows / dt_b
 
+    # Device-only profile + compute-intensity accounting.
+    dev_dt, n_real, bytes_pushed = _device_profile(detector, image)
+    flops_w = _flops_per_window(model)
+    # mid-cascade compaction: only ~mid_compact windows run stages >= 6
+    eff_windows = min(n_real, cfg.mid_compact or n_real)
+    approx_flops = flops_w * n_real * 0.45 + flops_w * eff_windows * 0.55
+    achieved_tflops = approx_flops / dev_dt / 1e12
+
     cpu_wps = _cpu_reference_windows_per_sec(model)
     result = {
         "metric": "detection_windows_per_sec (TNS-Group.jpg, "
@@ -170,6 +236,14 @@ def main() -> int:
             "detections": len(detections),
             "cpu_reference_windows_per_sec": round(cpu_wps, 1),
             "timed_runs": TIMED_RUNS,
+            # device-only numbers (dispatch-pipelined, image pre-pushed):
+            "device_seconds_per_image": round(dev_dt, 4),
+            "device_windows_per_sec": round(n_real / dev_dt, 1),
+            "bytes_pushed_per_image": int(bytes_pushed),
+            "flops_per_window": int(flops_w),
+            "achieved_tflops": round(achieved_tflops, 4),
+            "mfu_vs_bf16_peak_197tflops": round(
+                achieved_tflops / 197.0, 5),
         },
     }
     print(json.dumps(result))

@@ -32,15 +32,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--reuse", default="",
                    help="comma-separated net-name substrings to load from "
                         "out_dir instead of retraining (e.g. 'pose,eye')")
+    p.add_argument("--real_frac", type=float, default=0.22,
+                   help="fraction of face canvases drawn from real "
+                        "annotated photos (training.real); 0 disables")
+    p.add_argument("--real_bg_frac", type=float, default=0.30,
+                   help="fraction of background canvases from real photos")
+    p.add_argument("--real_gt_file", default="",
+                   help="annotation file for real faces "
+                        "(default data/train_faces_gt.txt)")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
 
+    real = dict(real_frac=args.real_frac, real_bg_frac=args.real_bg_frac,
+                real_gt_file=args.real_gt_file)
     if args.quick:
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,
                           age_samples=400, seed=args.seed,
-                          train_final_disc=not args.no_final_disc)
+                          train_final_disc=not args.no_final_disc, **real)
     else:
         cfg = TrainConfig(num_faces=args.num_faces,
                           steps_per_face=args.steps_per_face,
@@ -49,7 +59,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                           eye_faces=max(args.num_faces * 4 // 5, 8),
                           eye_steps=args.steps_per_face,
                           age_samples=args.age_samples, seed=args.seed,
-                          train_final_disc=not args.no_final_disc)
+                          train_final_disc=not args.no_final_disc, **real)
     t0 = time.time()
     reuse = tuple(s for s in args.reuse.split(",") if s)
     train_pipeline(args.out_dir, cfg, reuse=reuse)

@@ -99,9 +99,11 @@ class DetectorConfig:
     save_age_estimation_images: bool = False
 
     # Per-patch contrast normalization before detection networks
-    # (load_network_subimages contrast_normalize -- the reference defaults
-    # it OFF, FaceDetectUpdated.py:686).
-    detection_contrast_normalize: bool = False
+    # (load_network_subimages contrast_normalize, FaceDetectUpdated.py:686).
+    # None = let the loaded model decide (the trainer records whether its
+    # networks were fit on normalized patches in the calibration manifest;
+    # train/inference must match). True/False forces it.
+    detection_contrast_normalize: Optional[bool] = None
 
     # NMS threshold on relative eye error (face_analysis.py:217)
     purge_threshold: float = 0.25

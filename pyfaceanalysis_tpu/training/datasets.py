@@ -57,6 +57,31 @@ def _render_batch(key, n, with_face=True, canvas=CANVAS,
     return jax.jit(fn)(keys, sizes, angles)
 
 
+_POOL_KEYS = ("eye_l", "eye_r", "mouth", "face_size", "angle")
+
+
+def _face_canvases(key, n, angle_range, real_source=None, real_frac=0.0,
+                   canvas=CANVAS, face_size_range=FACE_SIZE_RANGE):
+    """n face canvases: synthetic renders mixed with warped REAL annotated
+    faces (training.real) at ratio ``real_frac``. Attrs follow the
+    annotation convention of synth.render_face either way."""
+    n_real = int(n * real_frac) if real_source is not None else 0
+    n_real = min(n_real, n - 1) if n > 1 else 0
+    k_syn, k_real = jax.random.split(key)
+    imgs, attrs = _render_batch(k_syn, n - n_real, angle_range=angle_range,
+                                canvas=canvas,
+                                face_size_range=face_size_range)
+    if n_real > 0:
+        seed = int(jax.random.randint(k_real, (), 0, 2 ** 31 - 1))
+        r_imgs, r_attrs = real_source.sample_faces(
+            seed, n_real, canvas, face_size_range, angle_range)
+        imgs = jnp.concatenate([imgs, r_imgs], axis=0)
+        attrs = {k: jnp.concatenate([jnp.asarray(attrs[k]),
+                                     jnp.asarray(r_attrs[k])], axis=0)
+                 for k in _POOL_KEYS}
+    return imgs, attrs
+
+
 def _boxes_from_centers(cx, cy, side):
     """Inclusive [x0, y0, x1, y1] boxes from centers and side lengths."""
     x0 = cx - (side - 1.0) / 2.0
@@ -71,8 +96,22 @@ _extract_batch = jax.jit(jax.vmap(
         img, boxes, angles, (64, 64), method="nearest")))
 
 
+def _maybe_contrast(flat, enabled: bool):
+    """The cascade's per-patch contrast normalization (engine.cascade:
+    mean 137.5 / std 0.4*255 in [0, 255] units) -- applied at TRAINING time
+    iff the model is to run with detection_contrast_normalize, so pixel
+    statistics match between fitting and inference."""
+    if not enabled:
+        return flat
+    from pyfaceanalysis_tpu.ops.contrast import contrast_normalize_avg_std
+    return contrast_normalize_avg_std(flat * 255.0, 137.5,
+                                      0.40 * 255.0) / 255.0
+
+
 def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
-                 dx_range: float, dy_range: float, ang_range: float
+                 dx_range: float, dy_range: float, ang_range: float,
+                 real_source=None, real_frac: float = 0.0,
+                 contrast_normalize: bool = False
                  ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Pose-walk patches: (N, 4096) in [0,1] plus labels dx/dy/ang/scale.
 
@@ -82,7 +121,8 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
     # Faces render at random in-plane angles: detection-time rotation lives
     # in the face, not only in the sampling grid.
-    imgs, attrs = _render_batch(k_face, num_faces, angle_range=ang_range)
+    imgs, attrs = _face_canvases(k_face, num_faces, ang_range,
+                                 real_source, real_frac)
     F = attrs["face_size"]                                       # (M,)
     theta = attrs["angle"]                                       # (M,)
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -127,20 +167,27 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     }
     # Patches stay on DEVICE (the trainer consumes them there; pulling the
     # full patch tensor to host is prohibitively slow over a TPU tunnel).
-    return jnp.reshape(patches, (N, -1)), labels
+    return _maybe_contrast(jnp.reshape(patches, (N, -1)),
+                           contrast_normalize), labels
 
 
 def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
-                 num_classes: int = 10
+                 num_classes: int = 10, real_source=None,
+                 real_frac: float = 0.0, real_bg_frac: float = 0.0,
+                 contrast_normalize: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Graded face-centering patches.
 
     Classes 0..num_classes-2 have perturbation magnitudes growing linearly
-    (class 0 = centered); the last class is pure background. Returns
-    (patches (N, 4096), class_ids (N,), avg_labels (C,) = linspace(0, 1, C)).
+    (class 0 = centered); the last class is pure background. Real annotated
+    faces join the graded classes at ratio ``real_frac``; real face-free
+    photo crops (hard negatives) join the background class at
+    ``real_bg_frac``. Returns (patches (N, 4096), class_ids (N,),
+    avg_labels (C,) = linspace(0, 1, C)).
     """
     k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
-    imgs, attrs = _render_batch(k_face, num_faces, angle_range=22.5)
+    imgs, attrs = _face_canvases(k_face, num_faces, 22.5,
+                                 real_source, real_frac)
     F = attrs["face_size"]
     theta = attrs["angle"]
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -178,8 +225,19 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cls = np.asarray(cls).reshape(-1)
 
     # Background class: patches from face-free canvases at random scales.
+    # Canvases mix synthetic scenes with real face-free photo crops
+    # (hard negatives: foliage, bookshelves, clothing).
     n_bg = M * T // (num_classes - 1) + 1
-    bg_imgs, _ = _render_batch(k_bg, max(n_bg // 8, 1), with_face=False)
+    n_canv = max(n_bg // 8, 1)
+    n_real_canv = (int(n_canv * real_bg_frac)
+                   if real_source is not None else 0)
+    bg_imgs, _ = _render_batch(k_bg, max(n_canv - n_real_canv, 1),
+                               with_face=False)
+    if n_real_canv > 0:
+        seed = int(jax.random.randint(jax.random.fold_in(k_bg, 17),
+                                      (), 0, 2 ** 31 - 1))
+        real_bg = real_source.sample_backgrounds(seed, n_real_canv, CANVAS)
+        bg_imgs = jnp.concatenate([bg_imgs, real_bg], axis=0)
     kb1, kb2, kb3 = jax.random.split(k_bg, 3)
     nb = bg_imgs.shape[0]
     per = -(-n_bg // nb)
@@ -195,16 +253,21 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     all_cls = np.concatenate([cls,
                               np.full(nb * per, num_classes - 1, np.int64)])
     avg_labels = np.linspace(0.0, 1.0, num_classes)
-    return all_patches, all_cls, avg_labels
+    return _maybe_contrast(all_patches, contrast_normalize), all_cls, \
+        avg_labels
 
 
 def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                      dx_r: float = 2.5, dy_r: float = 3.0, ang_r: float = 8.0,
-                     logscale_r: float = 0.10):
+                     logscale_r: float = 0.10,
+                     real_source=None, real_frac: float = 0.0,
+                     contrast_normalize: bool = False):
     """Patches perturbed like POST-REFINEMENT residuals on true faces --
-    used to calibrate the final Disc cutoff (trainer.calibrate_cutoff)."""
+    used to calibrate the final Disc cutoff (trainer.calibrate_cutoff).
+    Real faces join at ``real_frac`` so the calibrated gate admits them."""
     k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
-    imgs, attrs = _render_batch(k_face, num_faces, angle_range=20.0)
+    imgs, attrs = _face_canvases(k_face, num_faces, 20.0,
+                                 real_source, real_frac)
     F = attrs["face_size"]
     theta = attrs["angle"]
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -227,7 +290,8 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
     patches = _extract_batch(imgs, boxes, a)
-    return jnp.reshape(patches, (M * T, -1))
+    return _maybe_contrast(jnp.reshape(patches, (M * T, -1)),
+                           contrast_normalize)
 
 
 def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
@@ -298,8 +362,15 @@ def age_patch_constants(subimage_hw=(96, 96)):
     return first_row, first_col, 0.0, AGE_TY
 
 
-def age_dataset(key, n: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
-    """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels."""
+def age_dataset(key, n: int, chunk: int = 256
+                ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels.
+
+    Renders in fixed-size chunks: the v2 renderer materializes several
+    (chunk, 260, 256) float temporaries per canvas batch, so one 4000-wide
+    vmap would blow HBM; chunks of 256 keep the peak under ~200 MB while
+    only the (chunk, 96, 96) patches survive each step.
+    """
     k_face, k_j = jax.random.split(key)
     cx = Z_SIZE[1] / 2.0 - 0.5
     cy = Z_SIZE[0] / 2.0 - 0.5
@@ -312,13 +383,25 @@ def age_dataset(key, n: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         fr, fc, tx, ty = age_patch_constants()
         patch = extract_centered_patch(img, AGE_SAMPLING, fr, fc, tx, ty,
                                        (96, 96))
-        return patch[0], attrs
+        return (patch[0], attrs["age"], attrs["race"], attrs["gender"])
 
-    keys = jax.random.split(k_face, n)
-    patches, attrs = jax.jit(jax.vmap(one))(keys, jit_xy)
+    render = jax.jit(jax.vmap(one))
+    keys = jax.random.split(k_face, -(-n // chunk) * chunk)
+    parts, ages, races, genders = [], [], [], []
+    for s in range(0, n, chunk):
+        kc = keys[s:s + chunk]
+        jc = jnp.pad(jit_xy[s:s + chunk],
+                     ((0, chunk - min(chunk, n - s)), (0, 0)))
+        p, a, r, g = render(kc, jc)
+        take = min(chunk, n - s)
+        parts.append(p[:take])
+        ages.append(np.asarray(a[:take]))
+        races.append(np.asarray(r[:take]))
+        genders.append(np.asarray(g[:take]))
+    patches = jnp.concatenate(parts, axis=0)
     flat = contrast_enhance_patches(
         jnp.reshape(patches, (n, -1)), obj_avg=0.0, obj_std=0.16)
-    labels = {"age": np.asarray(attrs["age"]),
-              "race": np.asarray(attrs["race"]),
-              "gender": np.asarray(attrs["gender"])}
+    labels = {"age": np.concatenate(ages),
+              "race": np.concatenate(races),
+              "gender": np.concatenate(genders)}
     return flat, labels   # patches stay on device

@@ -1,4 +1,4 @@
-"""Procedural face renderer + dataset builders (all on-device, vmapped).
+"""Procedural face renderer + dataset helpers (all on-device, vmapped).
 
 Canonical face geometry (derived from the reference's eye-box math,
 face_analysis.py:24-135): for a face of nominal size F (the size of a
@@ -14,10 +14,21 @@ face_analysis.py:820-833, maps the box onto b = F). Position labels are
 measured in the 128-unit regression frame: ``dx = (box_cx - face_cx) * 128 /
 b``. Angle labels are the residual in-plane angle in degrees.
 
-Faces are rendered as smooth analytic luminance fields (sigmoid-edged
-ellipses, Gaussian features), so the renderer is one fused elementwise jax
-program -- thousands of faces render per second on a TPU chip, and the same
-code runs under the CPU test mesh.
+Renderer v2 (round 2): faces are shaded 2.5-D ellipsoid heads with
+procedural multi-octave texture, out-of-plane yaw, structured eyes /
+nose / mouth (teeth, smiles), facial hair, textured hair, shoulders +
+collars, neighbor-head fragments and a photometric camera pipeline --
+closing the synthetic-to-real statistics gap that made round-1 models
+blind to photographs. Everything is fused elementwise jax (one jit),
+thousands of canvases render per second on a TPU chip.
+
+IMPORTANT label convention: all returned landmark attrs (``eye_l``,
+``eye_r``, ``mouth``, ``face_size``, ``angle``) are derived from the ACTUAL
+rendered landmark positions (after yaw projection and jitter), exactly the
+way a human annotator's eye/mouth clicks would be -- ``face_size`` is
+``inter_eye / 0.3504`` and ``angle`` is the eye-line angle. Downstream
+label math in training.datasets therefore matches real annotated data by
+construction.
 """
 
 from __future__ import annotations
@@ -33,6 +44,32 @@ import numpy as np
 EYE_X = 0.1752      # horizontal eye offset / F
 EYE_Y = -0.1989     # vertical eye offset / F (up)
 MOUTH_Y = 0.1989
+INTER_EYE = 2 * EYE_X
+
+
+def _value_noise(key: jax.Array, hw: Tuple[int, int],
+                 grids=(6, 12, 24, 48),
+                 weights=(0.45, 0.27, 0.18, 0.10)) -> jax.Array:
+    """Multi-octave value noise in ~[-1, 1]: bilinear-upsampled random
+    lattices. The workhorse texture generator (foliage, skin, hair, cloth)."""
+    H, W = hw
+    ks = jax.random.split(key, len(grids))
+    out = jnp.zeros((H, W), jnp.float32)
+    for k, g, w in zip(ks, grids, weights):
+        lat = jax.random.uniform(k, (g, g), minval=-1.0, maxval=1.0)
+        out = out + w * jax.image.resize(lat, (H, W), "linear")
+    return out
+
+
+def _unit_light(key: jax.Array) -> jax.Array:
+    """Random light direction, biased to come from above/front."""
+    k1, k2 = jax.random.split(key)
+    az = jax.random.uniform(k1, (), minval=-1.2, maxval=1.2)
+    el = jax.random.uniform(k2, (), minval=0.15, maxval=1.1)
+    lx = jnp.sin(az) * jnp.cos(el)
+    ly = -jnp.sin(el)               # from above (y down)
+    lz = jnp.cos(az) * jnp.cos(el)
+    return jnp.array([lx, ly, lz])
 
 
 def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
@@ -42,37 +79,82 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
 
     Returns (image (H, W), attrs) where attrs holds the ground-truth
     ``age`` (years, 16-58), ``race`` (-2 black skin tone / +2 white),
-    ``gender`` (-1 male / +1 female) and eye/mouth positions in canvas
-    coordinates. All arguments may be traced scalars; the function is
-    jit/vmap safe.
+    ``gender`` (-1 male / +1 female) and the ACTUAL eye/mouth positions in
+    canvas coordinates (annotation convention, see module docstring). All
+    arguments may be traced scalars; the function is jit/vmap safe.
     """
     H, W = canvas_hw
-    ks = jax.random.split(key, 16)
+    ks = jax.random.split(key, 28)
     if center is None:
         center = (W / 2.0, H / 2.0)
     cx, cy = center
     F = face_size
 
-    # --- sampled identity attributes --------------------------------------
+    # --- sampled identity attributes ---------------------------------------
     age = jax.random.uniform(ks[0], (), minval=16.0, maxval=58.0)
     race = jnp.where(jax.random.bernoulli(ks[1]), 2.0, -2.0)
     gender = jnp.where(jax.random.bernoulli(ks[2]), 1.0, -1.0)
-    tone = (0.47 + 0.14 * race / 2.0
+    tone = (0.52 + 0.15 * race / 2.0
             + 0.05 * jax.random.normal(ks[3], ()))          # skin luminance
     a_norm = (age - 37.0) / 21.0                            # [-1, 1]
 
-    # --- background --------------------------------------------------------
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    g = jax.random.uniform(ks[4], (6,), minval=-1.0, maxval=1.0)
-    bg = (0.5 + 0.25 * g[0]
-          + 0.18 * g[1] * (xx / W - 0.5) + 0.18 * g[2] * (yy / H - 0.5)
-          + 0.07 * jnp.cos(2 * jnp.pi * (g[3] * 3 * xx / W + g[4] * 3 * yy / H)
-                           + g[5] * 3.0))
-    bg = bg + 0.04 * jax.random.normal(ks[5], (H, W))
+
+    # --- background: blend of scene styles + clutter ------------------------
+    kbg = jax.random.split(ks[4], 8)
+    tex = _value_noise(kbg[0], (H, W))                       # cluttered
+    # foliage-like: high-contrast mid-frequency clutter
+    foliage = 0.45 + 0.30 * jnp.tanh(2.5 * tex)
+    # shelf/wall-like: quasi-periodic vertical or horizontal structure
+    per = jax.random.uniform(kbg[1], (), minval=0.05, maxval=0.35)
+    horiz = jax.random.bernoulli(kbg[2])
+    coord = jnp.where(horiz, yy, xx)
+    stripes = 0.45 + 0.13 * jnp.sin(coord * per) + 0.15 * tex
+    # sky/field gradient
+    g = jax.random.uniform(kbg[3], (4,), minval=-1.0, maxval=1.0)
+    grad = (0.55 + 0.22 * g[0] + 0.20 * g[1] * (yy / H - 0.5)
+            + 0.12 * g[2] * (xx / W - 0.5) + 0.05 * tex)
+    # flat indoor wall
+    flat = 0.42 + 0.25 * g[3] + 0.03 * tex
+    wsel = jax.nn.softmax(jax.random.normal(kbg[4], (4,)) * 1.2)
+    bg = (wsel[0] * foliage + wsel[1] * stripes + wsel[2] * grad
+          + wsel[3] * flat)
+    # clutter blobs (dark/bright patches: objects, shadows)
+    kc = jax.random.split(kbg[5], 3)
+    bcx = jax.random.uniform(kc[0], (3, 2), minval=0.0,
+                             maxval=1.0) * jnp.array([W, H])
+    bsz = jax.random.uniform(kc[1], (3,), minval=0.08, maxval=0.35)
+    bto = jax.random.uniform(kc[2], (3,), minval=-0.35, maxval=0.35)
+    for i in range(3):
+        r2 = (((xx - bcx[i, 0]) / (bsz[i] * W)) ** 2
+              + ((yy - bcx[i, 1]) / (bsz[i] * H)) ** 2)
+        bg = bg + bto[i] * jnp.exp(-r2)
+    bg = bg + 0.03 * jax.random.normal(kbg[6], (H, W))
+
+    def _camera(img, kcam):
+        """Shared photometric pipeline: blur blend, gamma, contrast,
+        vignette, sensor noise."""
+        kc = jax.random.split(kcam, 5)
+        blur = (img + jnp.roll(img, 1, 0) + jnp.roll(img, -1, 0)
+                + jnp.roll(img, 1, 1) + jnp.roll(img, -1, 1)) / 5.0
+        blur2 = (blur + jnp.roll(blur, 2, 0) + jnp.roll(blur, -2, 0)
+                 + jnp.roll(blur, 2, 1) + jnp.roll(blur, -2, 1)) / 5.0
+        t = jax.random.uniform(kc[0], (), minval=0.0, maxval=1.0)
+        img = img * (1 - t) + jnp.where(t < 0.5, blur, blur2) * t
+        gamma = jnp.exp(jax.random.uniform(kc[1], (), minval=-0.35,
+                                           maxval=0.35))
+        img = jnp.clip(img, 0.0, 1.0) ** gamma
+        cont = jax.random.uniform(kc[2], (), minval=0.75, maxval=1.15)
+        img = 0.5 + (img - 0.5) * cont
+        vig = jax.random.uniform(kc[3], (), minval=0.0, maxval=0.25)
+        r2 = ((xx / W - 0.5) ** 2 + (yy / H - 0.5) ** 2) * 4.0
+        img = img * (1.0 - vig * r2)
+        img = img + 0.012 * jax.random.normal(kc[4], (H, W))
+        return jnp.clip(img, 0.0, 1.0)
 
     if not with_face:
-        return jnp.clip(bg, 0.0, 1.0), {
+        return _camera(bg, ks[5]), {
             "age": age, "race": race, "gender": gender,
             "eye_l": jnp.zeros(2), "eye_r": jnp.zeros(2),
             "mouth": jnp.zeros(2), "face_size": jnp.float32(0.0),
@@ -86,84 +168,223 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     u = (c * dx + s * dy) / F
     v = (-s * dx + c * dy) / F
 
-    # Head ellipse; age elongates (a strong global cue the linear age net
-    # can pick up), male faces are slightly wider.
-    ax = 0.335 * (1.0 + 0.05 * (gender < 0))
-    ay = 0.465 * (1.0 + 0.10 * a_norm)
-    e = (u / ax) ** 2 + ((v + 0.02) / ay) ** 2
-    head = jax.nn.sigmoid((1.0 - e) / 0.045)
+    # Head ellipsoid semi-axes with identity jitter; age elongates slightly,
+    # male faces are wider.
+    kshape = jax.random.split(ks[6], 6)
+    ax = 0.335 * (1.0 + 0.05 * (gender < 0)
+                  + 0.05 * jax.random.normal(kshape[0], ()))
+    ay = 0.465 * (1.0 + 0.08 * a_norm
+                  + 0.05 * jax.random.normal(kshape[1], ()))
+    az = 0.38
+    # Out-of-plane yaw: features shift horizontally by yaw * depth(u, v).
+    yaw = jax.random.uniform(kshape[2], (), minval=-0.30, maxval=0.30)
 
-    light = jax.random.uniform(ks[6], (2,), minval=-0.12, maxval=0.12)
-    skin = tone + light[0] * u + light[1] * v
+    e = (u / ax) ** 2 + ((v + 0.02) / ay) ** 2
+    head = jax.nn.sigmoid((1.0 - e) / 0.04)
+    depth = az * jnp.sqrt(jnp.clip(1.0 - e, 0.0, 1.0))       # ellipsoid z
+
+    # --- Lambertian shading from ellipsoid normals -------------------------
+    L = _unit_light(ks[7])
+    inv_d = 1.0 / jnp.maximum(depth, 0.05)
+    nx_ = (u / ax ** 2)
+    ny_ = ((v + 0.02) / ay ** 2)
+    nz_ = inv_d * 0.0 + 1.0 / az                              # ~constant
+    nrm = jnp.sqrt(nx_ ** 2 + ny_ ** 2 + nz_ ** 2)
+    ndl = (nx_ * L[0] + ny_ * L[1] + nz_ * L[2]) / nrm
+    shade = 0.62 + 0.38 * jnp.clip(ndl, -0.2, 1.0)
+
+    # Skin: tone * shading + low-frequency texture + age wrinkles.
+    kskin = jax.random.split(ks[8], 3)
+    skin_tex = _value_noise(kskin[0], (H, W), grids=(12, 24, 48),
+                            weights=(0.4, 0.35, 0.25))
+    wr_amp = 0.05 * jnp.clip(a_norm + 1.0, 0.0, 2.0) / 2.0
+    skin = tone * shade + 0.035 * skin_tex + wr_amp * skin_tex
+    skin = skin + 0.04 * jax.random.normal(kskin[1], ()) * v  # vert grade
+
+    # --- facial features (positions yaw-projected + jittered) --------------
+    kfeat = jax.random.split(ks[9], 10)
+    jit = 0.010 * jax.random.normal(kfeat[0], (6,))
+
+    def proj_u(fu, fv):
+        """Yaw projection: u' = u cos(yaw) + depth(u,v) sin(yaw)."""
+        d = az * jnp.sqrt(jnp.clip(
+            1.0 - (fu / ax) ** 2 - ((fv + 0.02) / ay) ** 2, 0.0, 1.0))
+        return fu * jnp.cos(yaw) + d * jnp.sin(yaw)
+
+    eye_y_l = EYE_Y + jit[1]
+    eye_y_r = EYE_Y + jit[2]
+    eye_u_l = proj_u(-EYE_X + jit[0], EYE_Y)
+    eye_u_r = proj_u(EYE_X + jit[0], EYE_Y)
+    mouth_u = proj_u(0.0 + jit[3], MOUTH_Y)
+    mouth_v = MOUTH_Y + jit[4]
+    eye_w = 0.055 * (1.0 + 0.15 * jax.random.normal(kfeat[1], ()))
 
     def blob(du, dv, su, sv):
         return jnp.exp(-((u - du) / su) ** 2 - ((v - dv) / sv) ** 2)
 
-    eye_dark = 0.40 + 0.08 * jax.random.normal(ks[7], ())
-    feats = -eye_dark * (blob(-EYE_X, EYE_Y, 0.058, 0.030)
-                         + blob(EYE_X, EYE_Y, 0.058, 0.030))
-    feats -= 0.55 * eye_dark * (blob(-EYE_X, EYE_Y, 0.020, 0.020)
-                                + blob(EYE_X, EYE_Y, 0.020, 0.020))
-    brow_h = 0.016 + 0.016 * (gender < 0)           # males: thicker brows
-    feats -= 0.30 * (blob(-EYE_X, EYE_Y - 0.075, 0.085, brow_h)
-                     + blob(EYE_X, EYE_Y - 0.075, 0.085, brow_h))
-    lip_dark = 0.30 + 0.12 * (gender > 0)           # females: darker lips
-    feats -= lip_dark * blob(0.0, MOUTH_Y, 0.105, 0.034)
-    feats -= 0.12 * blob(0.0, 0.05, 0.028, 0.105)   # nose shading
-    feats += 0.10 * blob(0.0, -0.30, 0.22, 0.10)    # forehead highlight
+    feats = jnp.zeros_like(u)
+    # Eyes: bright sclera band, dark iris, darker pupil, lid shadow above.
+    iris_r = 0.024 * (1.0 + 0.2 * jax.random.normal(kfeat[2], ()))
+    eye_dark = 0.55 + 0.10 * jax.random.normal(kfeat[3], ())
+    for eu, ev in ((eye_u_l, eye_y_l), (eye_u_r, eye_y_r)):
+        sclera = blob(eu, ev, eye_w, 0.024)
+        iris = blob(eu, ev, iris_r, iris_r)
+        pupil = blob(eu, ev, iris_r * 0.45, iris_r * 0.45)
+        lid = blob(eu, ev - 0.030, eye_w * 1.15, 0.012)
+        feats = (feats + 0.22 * sclera - eye_dark * iris - 0.25 * pupil
+                 - 0.18 * lid)
+    # Brows: thicker/darker for male, slight angle jitter.
+    brow_h = 0.014 + 0.012 * (gender < 0)
+    brow_d = 0.22 + 0.12 * (gender < 0)
+    brow_t = 0.025 * jax.random.normal(kfeat[4], ())
+    for eu, sgn in ((eye_u_l, -1.0), (eye_u_r, 1.0)):
+        bv = EYE_Y - 0.085 + brow_t * sgn * (u - eu) / 0.09
+        feats = feats - brow_d * jnp.exp(
+            -((u - eu) / 0.085) ** 2 - ((v - bv) / brow_h) ** 2)
+    # Nose: bridge highlight, side shadow (away from light), nostrils.
+    nose_u = proj_u(0.0, 0.03)
+    feats = feats + 0.10 * blob(nose_u, 0.02, 0.022, 0.095)
+    shadow_side = jnp.sign(L[0] + 1e-6)
+    feats = feats - 0.13 * blob(nose_u + shadow_side * 0.045, 0.05,
+                                0.030, 0.075)
+    feats = feats - 0.16 * (blob(nose_u - 0.030, 0.115, 0.016, 0.012)
+                            + blob(nose_u + 0.030, 0.115, 0.016, 0.012))
+    # Mouth: two lips, dark mid-line, optional smile + teeth.
+    smile = jax.random.uniform(kfeat[5], (), minval=0.0, maxval=1.0)
+    open_m = jax.random.uniform(kfeat[6], (), minval=0.0, maxval=1.0)
+    # Smile curvature: mouth CORNERS bend up (smaller v) with smile.
+    curve = -0.045 * smile * (((u - mouth_u) / 0.10) ** 2 - 0.5)
+    mv = v - mouth_v - curve
+    lip_dark = (0.16 + 0.10 * (gender > 0)) * (1.0 - 0.12 * a_norm)
+    feats = feats - lip_dark * jnp.exp(-((u - mouth_u) / 0.10) ** 2
+                                       - (mv / 0.028) ** 2)
+    feats = feats - 0.16 * jnp.exp(-((u - mouth_u) / 0.095) ** 2
+                                   - (mv / 0.008) ** 2)
+    teeth = 0.32 * smile * open_m
+    feats = feats + teeth * jnp.exp(-((u - mouth_u) / 0.070) ** 2
+                                    - (mv / 0.013) ** 2)
+    # Chin crease + forehead highlight + cheek modulation.
+    feats = feats - 0.08 * blob(mouth_u, MOUTH_Y + 0.11, 0.06, 0.015)
+    feats = feats + 0.07 * blob(proj_u(0.0, -0.30), -0.30, 0.22, 0.10)
 
-    # Age wrinkles: high-frequency texture whose amplitude grows with age;
-    # feature contrast also fades slightly with age (a global cue).
-    feats = feats * (1.0 - 0.12 * jnp.clip(a_norm, -1.0, 1.0))
-    wr_amp = 0.09 * jnp.clip(a_norm + 1.0, 0.0, 2.0) / 2.0
-    phase = jax.random.uniform(ks[8], (), maxval=6.28)
-    feats += wr_amp * jnp.sin(v * 55.0 + phase) * blob(0.0, -0.25, 0.25, 0.12)
-    feats += wr_amp * jnp.sin(u * 48.0 + phase) * (
-        blob(-EYE_X, EYE_Y + 0.09, 0.09, 0.05) + blob(EYE_X, EYE_Y + 0.09, 0.09, 0.05))
+    # Feature contrast fades slightly with age.
+    feats = feats * (1.0 - 0.10 * jnp.clip(a_norm, -1.0, 1.0))
 
-    # Hair: dark cap above the forehead (outer head ellipse minus a
-    # hairline), present on most faces. Real photos rarely show bald,
-    # hairless heads like pure ellipse renders.
-    khair = jax.random.split(ks[10], 4)
+    # --- facial hair (some males): darken jaw/lip region --------------------
+    kbeard = jax.random.split(ks[10], 3)
+    has_beard = (gender < 0) & (jax.random.uniform(kbeard[0], ()) < 0.40)
+    beard_d = jax.random.uniform(kbeard[1], (), minval=0.15, maxval=0.5)
+    beard_tex = _value_noise(kbeard[2], (H, W), grids=(24, 48),
+                             weights=(0.5, 0.5))
+    jaw = (jax.nn.sigmoid((v - 0.10) / 0.03)
+           * jax.nn.sigmoid((0.92 - e) / 0.05))
+    stache = blob(mouth_u, mouth_v - 0.055, 0.09, 0.018)
+    beard_mask = jnp.clip(jaw + 0.8 * stache, 0.0, 1.0) \
+        * jnp.where(has_beard, 1.0, 0.0)
+    # carve out the mouth itself
+    beard_mask = beard_mask * (1.0 - jnp.exp(-((u - mouth_u) / 0.10) ** 2
+                                             - (mv / 0.03) ** 2))
+
+    # --- hair: textured cap with noisy hairline, covers sides/ears ---------
+    khair = jax.random.split(ks[11], 5)
     has_hair = jax.random.uniform(khair[0], ()) > 0.15
-    hairline = jax.random.uniform(khair[1], (), minval=-0.40, maxval=-0.24)
-    hair_tone = jax.random.uniform(khair[2], (), minval=0.05, maxval=0.35)
-    e_hair = (u / (ax * 1.18)) ** 2 + ((v + 0.06) / (ay * 1.12)) ** 2
-    hair_mask = (jax.nn.sigmoid((1.0 - e_hair) / 0.05)
-                 * jax.nn.sigmoid((hairline - v) / 0.03)
-                 * jnp.where(has_hair, 1.0, 0.0))
+    hairline = jax.random.uniform(khair[1], (), minval=-0.42, maxval=-0.22)
+    hair_tone = jax.random.uniform(khair[2], (), minval=0.04, maxval=0.45)
+    hair_tex = _value_noise(khair[3], (H, W), grids=(12, 48),
+                            weights=(0.5, 0.5))
+    side_cov = jax.random.uniform(khair[4], (), minval=0.0, maxval=1.0)
+    e_hair = (u / (ax * 1.16)) ** 2 + ((v + 0.05) / (ay * 1.12)) ** 2
+    cap = (jax.nn.sigmoid((1.0 - e_hair) / 0.05)
+           * jax.nn.sigmoid((hairline + 0.05 * hair_tex - v) / 0.035))
+    sides = (jax.nn.sigmoid((1.0 - e_hair) / 0.05)
+             * jax.nn.sigmoid((e - 0.72) / 0.10)
+             * jax.nn.sigmoid((0.1 - v) / 0.25) * side_cov)
+    hair_mask = jnp.clip(cap + sides, 0.0, 1.0) \
+        * jnp.where(has_hair, 1.0, 0.0)
 
-    # Glasses on ~30% of faces: dark rings around both eyes + a bridge bar
-    # (label-neutral; eye centers stay canonical).
-    kglass = jax.random.split(ks[11], 2)
+    # --- shoulders / clothing / collar below the head ----------------------
+    kcloth = jax.random.split(ks[12], 5)
+    cloth_tone = jax.random.uniform(kcloth[0], (), minval=0.1, maxval=0.7)
+    cloth_tex = _value_noise(kcloth[1], (H, W), grids=(10, 30),
+                             weights=(0.6, 0.4))
+    sh_y = jax.random.uniform(kcloth[2], (), minval=0.55, maxval=0.75)
+    sh_w = jax.random.uniform(kcloth[3], (), minval=0.7, maxval=1.1)
+    shoulders = jax.nn.sigmoid((v - (sh_y + 0.25 * (u / sh_w) ** 2)) / 0.04)
+    cloth = cloth_tone + 0.10 * cloth_tex
+    has_collar = jax.random.uniform(kcloth[4], ()) < 0.45
+    collar = (jnp.exp(-(jnp.abs(u) / 0.10) ** 2)
+              * jax.nn.sigmoid((v - sh_y) / 0.03)
+              * jax.nn.sigmoid(((sh_y + 0.22) - v) / 0.05)
+              * jnp.where(has_collar, 1.0, 0.0))
+    cloth = cloth * (1.0 - 0.9 * collar) + 0.85 * collar
+
+    # --- glasses on ~30% of faces ------------------------------------------
+    kglass = jax.random.split(ks[13], 2)
     has_glasses = jax.random.uniform(kglass[0], ()) < 0.3
-    rr = jax.random.uniform(kglass[1], (), minval=0.075, maxval=0.10)
+    rr = jax.random.uniform(kglass[1], (), minval=0.070, maxval=0.10)
+
     def ring(du, dv):
-        r = jnp.sqrt(((u - du) / 1.15) ** 2 + (v - dv) ** 2)
-        return jnp.exp(-((r - rr) / 0.012) ** 2)
-    bridge = jnp.exp(-(u / 0.045) ** 2 - ((v - EYE_Y) / 0.012) ** 2)
-    glasses = (ring(-EYE_X, EYE_Y) + ring(EYE_X, EYE_Y) + bridge) \
+        r = jnp.sqrt(((u - du) / 1.2) ** 2 + (v - dv) ** 2)
+        return jnp.exp(-((r - rr) / 0.010) ** 2)
+
+    bridge = jnp.exp(-((u - nose_u) / 0.045) ** 2
+                     - ((v - EYE_Y) / 0.010) ** 2)
+    glasses = (ring(eye_u_l, eye_y_l) + ring(eye_u_r, eye_y_r) + bridge) \
         * jnp.where(has_glasses, 1.0, 0.0)
 
-    face_val = skin + feats - 0.25 * glasses
-    img = bg * (1.0 - head) + face_val * head
-    img = img * (1.0 - hair_mask) + hair_tone * hair_mask
-    img = img + 0.015 * jax.random.normal(ks[9], (H, W))
-    # Photometric augmentation: random gamma (exposure variation).
-    gamma = jnp.exp(jax.random.uniform(ks[12], (), minval=-0.3, maxval=0.3))
-    img = jnp.clip(img, 0.0, 1.0) ** gamma
+    # --- composite -----------------------------------------------------------
+    face_val = skin + feats - 0.30 * glasses
+    face_val = face_val * (1.0 - beard_d * beard_mask)
+    img = bg
+    # neighbor-head fragment near the canvas edge (group-photo context)
+    knb = jax.random.split(ks[14], 4)
+    has_nb = jax.random.uniform(knb[0], ()) < 0.35
+    nb_side = jnp.where(jax.random.bernoulli(knb[1]), 1.0, -1.0)
+    nb_u = nb_side * jax.random.uniform(knb[2], (), minval=0.85, maxval=1.3)
+    nb_v = jax.random.uniform(knb[3], (), minval=-0.3, maxval=0.4)
+    e_nb = ((u - nb_u) / (ax * 1.1)) ** 2 + ((v - nb_v) / (ay * 1.1)) ** 2
+    nb_mask = jax.nn.sigmoid((1.0 - e_nb) / 0.05) * \
+        jnp.where(has_nb, 1.0, 0.0)
+    nb_tone = tone * (0.9 + 0.2 * jax.random.normal(knb[0], ()))
+    nb_face = (nb_tone * shade
+               - 0.15 * jnp.exp(-((v - nb_v - EYE_Y * 0.8) / 0.04) ** 2)
+               - 0.10 * jnp.exp(-((v - nb_v - MOUTH_Y * 0.8) / 0.03) ** 2))
+    # neighbor hair cap
+    nb_hairm = jax.nn.sigmoid(((nb_v - 0.30) - v) / 0.04)
+    nb_face = nb_face * (1.0 - nb_hairm) + hair_tone * nb_hairm
+    img = img * (1.0 - nb_mask) + nb_mask * nb_face
+    # torso, then neck, then head on top
+    body = jnp.clip(shoulders - head, 0.0, 1.0)
+    img = img * (1.0 - body) + cloth * body
+    neck = (jnp.exp(-(jnp.abs(u) / 0.14) ** 3)
+            * jax.nn.sigmoid((v - 0.38) / 0.04)
+            * jax.nn.sigmoid((sh_y + 0.12 - v) / 0.05) * (1.0 - head))
+    neck_tone = tone * 0.86 * shade      # chin shadow
+    img = img * (1.0 - neck) + neck_tone * neck
+    img = img * (1.0 - head) + face_val * head
+    img = img * (1.0 - hair_mask) + \
+        (hair_tone + 0.12 * hair_tex) * hair_mask
+    img = _camera(img, ks[15])
 
-    # Ground-truth landmark positions in canvas coordinates.
+    # --- ground-truth landmarks (annotation convention) ---------------------
     def to_canvas(fu, fv):
-        return jnp.array([cx + (c * fu - s * fv) * F, cy + (s * fu + c * fv) * F])
+        return jnp.array([cx + (c * fu - s * fv) * F,
+                          cy + (s * fu + c * fv) * F])
+
+    eye_l = to_canvas(eye_u_l, eye_y_l)
+    eye_r = to_canvas(eye_u_r, eye_y_r)
+    mouth = to_canvas(mouth_u, mouth_v)
+    inter = jnp.sqrt(jnp.sum((eye_r - eye_l) ** 2))
+    f_eff = inter / INTER_EYE
+    ang_eff = jnp.rad2deg(jnp.arctan2(eye_r[1] - eye_l[1],
+                                      eye_r[0] - eye_l[0]))
 
     attrs = {
         "age": age, "race": race, "gender": gender,
-        "eye_l": to_canvas(-EYE_X, EYE_Y), "eye_r": to_canvas(EYE_X, EYE_Y),
-        "mouth": to_canvas(0.0, MOUTH_Y), "face_size": jnp.float32(F),
-        "angle": jnp.float32(angle_deg) * jnp.ones(()),
+        "eye_l": eye_l, "eye_r": eye_r, "mouth": mouth,
+        "face_size": f_eff, "angle": ang_eff,
     }
-    return jnp.clip(img, 0.0, 1.0), attrs
+    return img, attrs
 
 
 render_faces = jax.jit(

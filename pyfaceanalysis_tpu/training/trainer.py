@@ -146,6 +146,17 @@ class TrainConfig:
     seed: int = 12345600    # the reference's RNG seed (FaceDetectUpdated.py:146)
     top_dim: int = 20
     train_final_disc: bool = True
+    # Real annotated photos (training.real) mixed into the synthetic pools:
+    # fraction of face canvases / of background canvases drawn from real
+    # photos. 0 disables (pure synthetic).
+    real_frac: float = 0.22
+    real_bg_frac: float = 0.30
+    real_gt_file: str = ""   # "" = data/train_faces_gt.txt
+    # Per-patch contrast normalization on the DETECTION patch batches
+    # (pose/disc); removes global photometric domain shift between the
+    # renderer and photographs. Recorded in the calibration manifest so
+    # the detector applies the same transform (engine.cascade).
+    contrast_normalize: bool = True
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -193,6 +204,14 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
 
     key = jax.random.PRNGKey(cfg.seed)
     keys = jax.random.split(key, 8)
+    real_source = None
+    if cfg.real_frac > 0 or cfg.real_bg_frac > 0:
+        from pyfaceanalysis_tpu.training import real as real_mod
+        if cfg.real_gt_file:
+            real_source = real_mod.RealFaceSource(cfg.real_gt_file,
+                                                  verbose=verbose)
+        else:
+            real_source = real_mod.default_source(verbose=verbose)
     eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
                            subimage_width=64, subimage_height=64,
                            regression_width=64, regression_height=64)
@@ -214,6 +233,16 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                 os.path.join(out_dir, c + ".npz"))
         log(f"[train] {name}: reused existing artifacts")
 
+    def _persist(name, clf_names):
+        """Write artifacts as soon as a net is trained: a crash in a later
+        stage must not lose finished work (stages are retrainable
+        incrementally through ``reuse``)."""
+        artifacts.save_network(os.path.join(out_dir, name + ".npz"),
+                               nets[name])
+        for c in clf_names:
+            artifacts.save_classifier(os.path.join(out_dir, c + ".npz"),
+                                      clfs[c], clfs[c].means.shape[1])
+
     # --- pose nets (iter0: wide ranges; iter1: narrow, shared by iter2) ----
     for name, ranges, kidx in [("net_pose0", (40.0, 20.0, 22.5), 0),
                                ("net_pose1", (14.0, 13.0, 21.0), 1)]:
@@ -223,9 +252,10 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                 ("PosX", "PosY", "PAng", "Scale")])
             continue
         log(f"[train] {name}: rendering pose walks...")
-        x, labels = datasets.pose_dataset(keys[kidx], cfg.num_faces,
-                                          cfg.steps_per_face, face_geom,
-                                          *ranges)
+        x, labels = datasets.pose_dataset(
+            keys[kidx], cfg.num_faces, cfg.steps_per_face, face_geom,
+            *ranges, real_source=real_source, real_frac=cfg.real_frac,
+            contrast_normalize=cfg.contrast_normalize)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim)
         log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
         # Combined 4-label serial graph: features must encode ALL pose
@@ -247,6 +277,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                      "scale": "Scale"}[lab_name] + it
             clfs[f"clf_{cname}"] = fit_regressor_bins(
                 feats, labels[lab_name], dim, cfg.pose_classes)
+        _persist(name, [f"clf_{k}{it}" for k in
+                        ("PosX", "PosY", "PAng", "Scale")])
         log(f"[train] {name}: done")
 
     # --- discrimination nets ------------------------------------------------
@@ -258,14 +290,18 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             _load_reused(name, [cname])
             continue
         log(f"[train] {name}: rendering graded centering classes...")
-        x, cls, avg = datasets.disc_dataset(keys[2 + i], cfg.disc_faces,
-                                            cfg.disc_steps, face_geom)
+        x, cls, avg = datasets.disc_dataset(
+            keys[2 + i], cfg.disc_faces, cfg.disc_steps, face_geom,
+            real_source=real_source, real_frac=cfg.real_frac,
+            real_bg_frac=cfg.real_bg_frac,
+            contrast_normalize=cfg.contrast_normalize)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim)
         net = train_network(net, x, graph="clustered", labels=cls,
                             verbose=verbose)
         nets[name] = net
         feats = _execute(net, x)
         clfs[cname] = fit_regressor_classes(feats, cls, avg, input_dim=9)
+        _persist(name, [cname])
         log(f"[train] {name}: done")
     if not cfg.train_final_disc:
         nets["net_disc_final"] = nets["net_disc"]
@@ -288,6 +324,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                                cfg.pose_classes)
         clfs["clf_EyeLY"] = fit_regressor_bins(feats, labels["y"], 10,
                                                cfg.pose_classes)
+        _persist("net_eye", ["clf_EyeLX", "clf_EyeLY"])
         log("[train] net_eye: done")
 
     # --- age/race/gender net -------------------------------------------------
@@ -314,6 +351,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         clfs["clf_Gender"] = fit_regressor_classes(
             feats, (labels["gender"] > 0).astype(int),
             np.array([-1.0, 1.0]), 5)
+        _persist("net_age", ["clf_Age", "clf_Race", "clf_Gender"])
         log("[train] net_age: done")
 
     # --- calibrate the final Disc cutoff --------------------------------------
@@ -324,7 +362,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     # converged-residual face patches, provided background stays far above.
     log("[train] calibrating final Disc cutoff...")
     res = datasets.residual_dataset(keys[6], max(cfg.disc_faces // 2, 8), 20,
-                                    face_geom)
+                                    face_geom, real_source=real_source,
+                                    real_frac=cfg.real_frac,
+                                    contrast_normalize=cfg.contrast_normalize)
     net9 = nets["net_disc_final"]
     feats = _execute(net9, res)
     clf9 = clfs["clf_Disc9"]
@@ -343,6 +383,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
     spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
     write_pipeline(os.path.join(out_dir, "Pipeline_tpu.txt"), spec)
-    artifacts.save_manifest(out_dir, face_geom, eye_geom, age_geom,
-                            calibration={"last_cut_off_face": last_cut})
+    artifacts.save_manifest(
+        out_dir, face_geom, eye_geom, age_geom,
+        calibration={"last_cut_off_face": last_cut,
+                     "detection_contrast_normalize":
+                         bool(cfg.contrast_normalize)})
     log(f"[train] wrote pipeline artifacts to {out_dir}")

@@ -77,7 +77,11 @@ def test_eye_boxes_consistent_with_renderer():
         _, attrs = synth.render_face(jax.random.PRNGKey(0),
                                      canvas_hw=(260, 260), face_size=90.0,
                                      center=(130.0, 130.0), angle_deg=theta)
-        F = 90.0
+        # The renderer reports landmarks in the ANNOTATION convention
+        # (yaw-projected + jittered): the perfect detection box derives
+        # from those landmarks, exactly like a ground-truth row would.
+        F = float(attrs["face_size"])
+        ang = float(attrs["angle"])
         fc = np.array([
             (float(attrs["eye_l"][0]) + float(attrs["eye_r"][0])) / 2.0,
             (float(attrs["eye_l"][1]) + float(attrs["eye_r"][1])) / 2.0])
@@ -85,7 +89,7 @@ def test_eye_boxes_consistent_with_renderer():
         box = np.array([[fc[0] - (F - 1) / 2, fc[1] - (F - 1) / 2,
                          fc[0] + (F - 1) / 2, fc[1] + (F - 1) / 2]])
         eyes, _, _ = geometry.compute_approximate_eye_boxes_coordinates(
-            box, np.array([theta]))
+            box, np.array([ang]))
         eyes = np.asarray(eyes)[0]
         true_eyes = np.concatenate([np.asarray(attrs["eye_l"]),
                                     np.asarray(attrs["eye_r"])])
