@@ -67,6 +67,7 @@ _LONG_OPTS = [
     "camera_enabled=", "track_single_face=", "pygame_display=",
     "estimate_age_race_gender=", "image_prescaling=",
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
+    "distributed=", "coordinator=", "num_processes=", "process_id=",
 ]
 
 
@@ -93,6 +94,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     save_patches = False
     save_normalized = False
     verbose = True
+    distributed = False
+    coordinator = None
+    num_processes = None
+    process_id = None
 
     for o, a in opts:
         if o in ("-b", "--batch"):
@@ -140,6 +145,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             pipeline_dir = a
         elif o == "--verbose":
             verbose = _b(a)
+        elif o == "--distributed":
+            distributed = _b(a)
+        elif o == "--coordinator":
+            coordinator = a
+        elif o == "--num_processes":
+            num_processes = int(a)
+        elif o == "--process_id":
+            process_id = int(a)
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):
@@ -164,6 +177,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         if v and k in ("camera_enabled", "pygame_display"):
             print(f"notice: --{k} requested; use `pfa-camera` for the live "
                   "pygame loop")
+
+    if distributed:
+        # Multi-host batch sweep: images are independent until their own
+        # NMS, so hosts take disjoint slices over DCN (parallel.multihost).
+        from pyfaceanalysis_tpu.parallel import multihost
+        pid, nproc = multihost.initialize(coordinator, num_processes,
+                                          process_id)
+        image_filenames, output_filenames = multihost.shard_batch_files(
+            image_filenames, output_filenames, pid, nproc)
+        print(f"[distributed] process {pid}/{nproc}: "
+              f"{len(image_filenames)} image(s)")
 
     cfg = DetectorConfig(**cfg_kw)
     return run_detection(image_filenames, output_filenames, cfg,
