@@ -55,6 +55,11 @@ Switches (reference-compatible, FaceDetectUpdated.py):
   --save_patches=0/1 --save_normalized_face_detections=0/1
   --network_figures_together=0/1 --camera_enabled=0/1 --pygame_display=0/1
   --pipeline_dir=DIR          artifact directory (default SavedNetworksTPU)
+
+TPU-native extensions:
+  --distributed=1             multi-host batch sweep over jax.distributed
+  --coordinator=HOST:PORT --num_processes=N --process_id=K
+  --profile_dir=DIR           write a jax.profiler (xplane) trace
 """
 
 _LONG_OPTS = [
@@ -68,6 +73,7 @@ _LONG_OPTS = [
     "estimate_age_race_gender=", "image_prescaling=",
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
+    "profile_dir=",
 ]
 
 
@@ -98,6 +104,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     coordinator = None
     num_processes = None
     process_id = None
+    profile_dir = None
 
     for o, a in opts:
         if o in ("-b", "--batch"):
@@ -153,6 +160,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             num_processes = int(a)
         elif o == "--process_id":
             process_id = int(a)
+        elif o == "--profile_dir":
+            profile_dir = a
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):
@@ -190,17 +199,18 @@ def main(argv: Optional[List[str]] = None) -> int:
               f"{len(image_filenames)} image(s)")
 
     cfg = DetectorConfig(**cfg_kw)
-    return run_detection(image_filenames, output_filenames, cfg,
-                         pipeline_dir=pipeline_dir,
-                         write_results=write_results,
-                         coordinates_filename=coordinates_filename,
-                         true_coordinates_file=true_coordinates_file,
-                         save_patches=save_patches,
-                         save_normalized=save_normalized, verbose=verbose,
-                         display_plots=display_flags.get("display_plots",
-                                                         False),
-                         show_final_detection=display_flags.get(
-                             "show_final_detection", False))
+    from pyfaceanalysis_tpu.utils.profiling import maybe_trace
+    with maybe_trace(profile_dir):
+        return run_detection(
+            image_filenames, output_filenames, cfg,
+            pipeline_dir=pipeline_dir, write_results=write_results,
+            coordinates_filename=coordinates_filename,
+            true_coordinates_file=true_coordinates_file,
+            save_patches=save_patches, save_normalized=save_normalized,
+            verbose=verbose,
+            display_plots=display_flags.get("display_plots", False),
+            show_final_detection=display_flags.get("show_final_detection",
+                                                   False))
 
 
 def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,

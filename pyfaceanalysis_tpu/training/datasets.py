@@ -96,6 +96,33 @@ _extract_batch = jax.jit(jax.vmap(
         img, boxes, angles, (64, 64), method="nearest")))
 
 
+def _random_patch_blur(key, patches):
+    """Per-PATCH blur augmentation (random strength 0..~2 px).
+
+    Canvas-level blur mostly vanishes once boxes are downsampled to 64x64,
+    so it cannot stop the nets from keying on renderer-sharp micro-cues
+    that do not exist in photographs; randomizing blur at patch level makes
+    fine detail an UNRELIABLE signal during GSFA fitting, forcing the slow
+    features onto coarse structure that transfers to real faces.
+    patches: (..., 64, 64).
+    """
+    k1, k2 = jax.random.split(key)
+    shape = patches.shape
+
+    def blur1(p):
+        return (p + jnp.roll(p, 1, -1) + jnp.roll(p, -1, -1)
+                + jnp.roll(p, 1, -2) + jnp.roll(p, -1, -2)) / 5.0
+
+    n = int(np.prod(shape[:-2]))
+    t1 = jax.random.uniform(k1, (n,) + (1, 1))
+    t2 = jax.random.uniform(k2, (n,) + (1, 1)) * t1     # heavier tail
+    flat = patches.reshape((n,) + shape[-2:])
+    b1 = blur1(flat)
+    b2 = blur1(b1)
+    out = flat * (1 - t1) + b1 * (t1 - t2) + b2 * t2
+    return out.reshape(shape)
+
+
 def _maybe_contrast(flat, enabled: bool):
     """The cascade's per-patch contrast normalization (engine.cascade:
     mean 137.5 / std 0.4*255 in [0, 255] units) -- applied at TRAINING time
@@ -157,6 +184,7 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)                       # (M, T, 4)
     patches = _extract_batch(imgs, boxes, a)                     # (M,T,64,64)
+    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches)
 
     N = num_faces * steps
     labels = {
@@ -221,7 +249,9 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cx = fc_x[:, None] + jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
-    patches = jnp.reshape(_extract_batch(imgs, boxes, a), (M * T, -1))
+    patches = _random_patch_blur(jax.random.fold_in(key, 99),
+                                 _extract_batch(imgs, boxes, a))
+    patches = jnp.reshape(patches, (M * T, -1))
     cls = np.asarray(cls).reshape(-1)
 
     # Background class: patches from face-free canvases at random scales.
@@ -246,8 +276,10 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     bcx = jax.random.uniform(kb2, (nb, per), minval=40.0, maxval=CANVAS[1] - 40.0)
     bcy = jax.random.uniform(kb3, (nb, per), minval=40.0, maxval=CANVAS[0] - 40.0)
     bg_boxes = _boxes_from_centers(bcx, bcy, side)
-    bg_patches = jnp.reshape(
-        _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))), (nb * per, -1))
+    bg_patches = _random_patch_blur(
+        jax.random.fold_in(key, 98),
+        _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))))
+    bg_patches = jnp.reshape(bg_patches, (nb * per, -1))
 
     all_patches = jnp.concatenate([patches, bg_patches], axis=0)  # device
     all_cls = np.concatenate([cls,
@@ -289,7 +321,8 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cx = fc_x[:, None] + jnp.cos(rad) * off_x - jnp.sin(rad) * off_y
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
-    patches = _extract_batch(imgs, boxes, a)
+    patches = _random_patch_blur(jax.random.fold_in(key, 99),
+                                 _extract_batch(imgs, boxes, a))
     return _maybe_contrast(jnp.reshape(patches, (M * T, -1)),
                            contrast_normalize)
 
@@ -337,6 +370,7 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
     cy = eye[:, 1:2] + cyo
     boxes = _boxes_from_centers(cx, cy, box_w * jnp.ones_like(cx))
     patches = _extract_batch(imgs, boxes, est)             # (M, T, 64, 64)
+    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches)
     flat = jnp.reshape(patches, (M * T, -1))
     flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
 

@@ -95,7 +95,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     race = jnp.where(jax.random.bernoulli(ks[1]), 2.0, -2.0)
     gender = jnp.where(jax.random.bernoulli(ks[2]), 1.0, -1.0)
     tone = (0.52 + 0.15 * race / 2.0
-            + 0.05 * jax.random.normal(ks[3], ()))          # skin luminance
+            + 0.08 * jax.random.normal(ks[3], ()))          # skin luminance
     a_norm = (age - 37.0) / 21.0                            # [-1, 1]
 
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
@@ -267,8 +267,12 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     feats = feats - 0.08 * blob(mouth_u, MOUTH_Y + 0.11, 0.06, 0.015)
     feats = feats + 0.07 * blob(proj_u(0.0, -0.30), -0.30, 0.22, 0.10)
 
-    # Feature contrast fades slightly with age.
-    feats = feats * (1.0 - 0.10 * jnp.clip(a_norm, -1.0, 1.0))
+    # Feature contrast fades slightly with age; a global per-face feature
+    # amplitude (domain randomization: the nets must not depend on one
+    # canonical feature contrast).
+    famp = jnp.exp(jax.random.uniform(ks[16], (), minval=-0.45,
+                                      maxval=0.30))
+    feats = feats * famp * (1.0 - 0.10 * jnp.clip(a_norm, -1.0, 1.0))
 
     # --- facial hair (some males): darken jaw/lip region --------------------
     kbeard = jax.random.split(ks[10], 3)

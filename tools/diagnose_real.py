@@ -84,26 +84,43 @@ def main(argv=None):
             print("  !! no responsible window (grid does not cover this "
                   "face scale/position)")
             continue
-        alive = np.ones(len(ridx), bool)
+        # Pick the longest-surviving responsible window and print ITS
+        # trajectory (box error vs GT in regression px): shows whether
+        # refinement converges or diverges before a gate kills it.
+        masks = [np.asarray(t[2])[ridx] for t in trace]
+        survival = np.sum(np.stack(masks), axis=0)
+        w = int(np.argmax(survival))
+        gi = ridx[w]
+        alive_cnt_prev = len(ridx)
         for si, (boxes, angles, mask, conf) in enumerate(trace):
-            m = np.asarray(mask)[ridx]
-            newly_dead = alive & ~m
-            n_alive = int(m.sum())
+            n_alive = int(masks[si].sum())
+            b = np.asarray(boxes)[gi]
+            a = float(np.asarray(angles)[gi])
+            bcx = (b[0] + b[2]) / 2.0
+            bcy = (b[1] + b[3]) / 2.0
+            side = abs(b[2] - b[0])
+            ex = (fcx - bcx) / max(side, 1e-9) * 128
+            ey = (fcy - bcy) / max(side, 1e-9) * 128
+            es = f_side / np.sqrt(2) / max(side, 1e-9)
+            err = (f" w{gi}: ex={ex:+6.1f} ey={ey:+6.1f} "
+                   f"scale={es:.3f} ang={a:+5.1f}")
             note = ""
-            if newly_dead.any() and n_alive == 0:
+            if n_alive == 0 and alive_cnt_prev > 0:
                 p = plan[si]
                 if p.kind == "Disc":
                     c = np.asarray(conf)[ridx]
                     note = (f"  <- ALL DIED (Disc cutoff "
-                            f"{cut_offs[p.serial]:.3f}; conf of responsible:"
-                            f" min={c[alive].min():.3f} "
-                            f"med={np.median(c[alive]):.3f})")
+                            f"{cut_offs[p.serial]:.3f}; conf of "
+                            f"responsible: min={c.min():.3f} "
+                            f"med={np.median(c):.3f})")
                 else:
                     note = "  <- ALL DIED"
-            if n_alive == 0 and not newly_dead.any():
-                continue
-            print(f"  after {stage_names[si]:7s}: {n_alive:4d} alive{note}")
-            alive = m
+            if n_alive == 0 and alive_cnt_prev == 0:
+                break
+            print(f"  after {stage_names[si]:7s}: {n_alive:4d} alive"
+                  f"{err}{note}")
+            alive_cnt_prev = n_alive
+        alive = masks[-1] if trace else np.zeros(len(ridx), bool)
         if alive.any():
             bb = np.asarray(trace[-1][0])[ridx[alive]]
             cc = np.asarray(trace[-1][3])[ridx[alive]]
