@@ -121,6 +121,12 @@ class DetectorConfig:
     # of the grid. Survivors are ranked by Disc confidence if they exceed
     # the budget. 0 disables.
     mid_compact: int = 512
+    # Refinement-round patch extraction via the Pallas MXU gather kernel
+    # (ops.pallas_gather: per-patch pyramid-level tiles + one-hot matmul
+    # sampling). "auto" = compiled kernel on TPU, XLA gather elsewhere;
+    # "on"/"off" force it; "interpret" runs the kernel in interpreter mode
+    # (tests). Static jit arg, so each value compiles its own program.
+    pallas_refine: str = "auto"
 
     def resolved_cut_offs(self) -> Tuple[float, ...]:
         """Applies ``last_cut_off_face`` to slot 9 (FaceDetectUpdated.py:434-438)."""

@@ -117,6 +117,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 state: CascadeState,
                 pyramid=None,
                 crops=None,
+                pyr_scales=None,
                 collect_trace: bool = False):
     """Runs all detection stages on one padded patch batch. One jit per
     (plan, bucket, image shape).
@@ -139,15 +140,36 @@ def run_cascade(plan: Tuple[StagePlan, ...],
     sl = None
     compacted = False
 
+    # Refinement extraction via the Pallas pyramid-gather kernel: every
+    # patch keeps reading its ORIGINAL grid level (scale drift is gated to
+    # 1.31x, so the box always fits the kernel's 128-texel tile).
+    levels = crops[:, 0] if crops is not None else None
+    if cfg.pallas_refine == "off" or pyramid is None or img_idx is not None:
+        pallas_mode = None
+    elif cfg.pallas_refine == "auto":
+        pallas_mode = (False if jax.default_backend() == "tpu" else None)
+    else:  # "on" -> compiled, "interpret" -> interpreter (CPU tests)
+        pallas_mode = (cfg.pallas_refine == "interpret")
+    if pallas_mode is not None and min(pyramid.shape[1:]) < 128:
+        pallas_mode = None      # tiny tracking-mode levels: XLA gather path
+
     for si, st in enumerate(plan):
         if st.extract:
+            interp = cfg.interpolation_formats[st.serial]
             if si == 0 and pyramid is not None:
                 # Iter-0 grid: contiguous crops from the scale pyramid
                 # (ops.pyramid) -- ~6x cheaper than the rotated gather.
                 from pyfaceanalysis_tpu.ops.pyramid import crop_patches
                 patches = crop_patches(pyramid, crops, patch_hw)
+            elif pallas_mode is not None and interp in ("nearest",
+                                                        "bilinear"):
+                from pyfaceanalysis_tpu.ops.pallas_gather import (
+                    sample_patches_pyramid,
+                )
+                patches = sample_patches_pyramid(
+                    pyramid, pyr_scales, levels, boxes, angles, patch_hw,
+                    method=interp, interpret=pallas_mode)
             else:
-                interp = cfg.interpolation_formats[st.serial]
                 patches = extract_patches_rotate(image, boxes, angles,
                                                  patch_hw, method=interp,
                                                  image_idx=img_idx)
@@ -186,6 +208,8 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 patches = patches[idx]
                 if img_idx is not None:
                     img_idx = img_idx[idx]
+                if levels is not None:
+                    levels = levels[idx]
                 if sl is not None:
                     sl = sl[idx]
                 compacted = True
@@ -310,9 +334,10 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
     if samplings:
         s0 = min(samplings)
         # Levels must fit at least one patch (large tracking scales can
-        # shrink the level below the crop size; the excess is zero-padded).
-        lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2)
-        lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2)
+        # shrink the level below the crop size; the excess is zero-padded)
+        # and one Pallas gather tile (ops.pallas_gather.TILE = 128).
+        lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2, 130)
+        lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2, 130)
         crops_real = np.concatenate(all_crops, axis=0).astype(np.int32)
         # Tracking-mode grids can place crop origins outside the level;
         # crop_patches uses lax.dynamic_slice whose CLAMPED start would

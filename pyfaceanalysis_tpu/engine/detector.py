@@ -145,7 +145,7 @@ from functools import partial
 def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
                  dim_x, dim_y, k_out,
                  image, det_params, det_clfs, eye_params, clf_ex, clf_ey,
-                 state, pyramid=None, crops=None):
+                 state, pyramid=None, crops=None, pyr_scales=None):
     """Fused cascade + survivor compaction + eye localization, one jit.
 
     Returns a (k_out, 11) block: [x0, y0, x1, y1, angle, elx, ely, erx, ery,
@@ -155,7 +155,8 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     out = cascade_mod.run_cascade(
         plan, det_specs, geom, cfg,
         (geom.subimage_height, geom.subimage_width),
-        image, det_params, det_clfs, state, pyramid=pyramid, crops=crops)
+        image, det_params, det_clfs, state, pyramid=pyramid, crops=crops,
+        pyr_scales=pyr_scales)
 
     # Device-side compaction: alive rows first, best (lowest) Disc
     # confidence first within them, so a crowded scene overflowing k_out
@@ -269,12 +270,13 @@ class FaceDetector:
         if n_real == 0:
             return []
         # Pyramid fast path for the iter-0 extraction (nearest interp only).
-        pyramid = crops = None
+        pyramid = crops = scales_arr = None
         if (pyr is not None and
                 cfg.interpolation_formats[model.plan[0].serial] == "nearest"):
             from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
             pyramid = build_pyramid(device_image, pyr.scales, pyr.level_hw)
             crops = pyr.crops
+            scales_arr = jnp.asarray(pyr.scales, jnp.float32)
 
         self.last_trace = None
         if collect_trace:
@@ -282,7 +284,8 @@ class FaceDetector:
                 model.plan, model.det_specs, geom, cfg,
                 (geom.subimage_height, geom.subimage_width),
                 device_image, model.det_params, model.det_clfs, state,
-                pyramid=pyramid, crops=crops, collect_trace=True)
+                pyramid=pyramid, crops=crops, pyr_scales=scales_arr,
+                collect_trace=True)
             self.last_trace = [tuple(np.asarray(t) for t in snap)
                                for snap in trace]
             mask = np.asarray(out.mask)
@@ -301,7 +304,7 @@ class FaceDetector:
                 model.clf_input_dim("EyeLY"), cfg.max_detections,
                 device_image, model.det_params, model.det_clfs,
                 tuple(eye_net.params), model.classifier("EyeLX"),
-                model.classifier("EyeLY"), state, pyramid, crops)
+                model.classifier("EyeLY"), state, pyramid, crops, scales_arr)
             block = np.asarray(block)                 # the one result pull
             rows = block[block[:, 10] > 0.5][:, :10]
         if len(rows) == 0:
@@ -367,6 +370,8 @@ class FaceDetector:
         use_pyr = (pyr is not None and
                    cfg.interpolation_formats[model.plan[0].serial]
                    == "nearest")
+        scales_arr = (jnp.asarray(pyr.scales, jnp.float32) if use_pyr
+                      else None)
 
         # Phase 1: dispatch everything (async); keep device handles.
         device_images = []
@@ -386,7 +391,8 @@ class FaceDetector:
                 model.clf_input_dim("EyeLY"), cfg.max_detections,
                 device_image, model.det_params, model.det_clfs,
                 tuple(eye_net.params), model.classifier("EyeLX"),
-                model.classifier("EyeLY"), state, pyramid, crops))
+                model.classifier("EyeLY"), state, pyramid, crops,
+                scales_arr if use_pyr else None))
 
         # Phase 2: pull results (device queue drains while we postprocess),
         # NMS per image on host, then ONE batched ARG-head dispatch over all
