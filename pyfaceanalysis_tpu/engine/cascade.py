@@ -150,8 +150,10 @@ def run_cascade(plan: Tuple[StagePlan, ...],
         pallas_mode = (False if jax.default_backend() == "tpu" else None)
     else:  # "on" -> compiled, "interpret" -> interpreter (CPU tests)
         pallas_mode = (cfg.pallas_refine == "interpret")
-    if pallas_mode is not None and min(pyramid.shape[1:]) < 128:
-        pallas_mode = None      # tiny tracking-mode levels: XLA gather path
+    if pallas_mode is not None:
+        lh_, lw_ = pyramid.shape[1:]
+        if lh_ < 128 or lw_ < 256 or lh_ % 8 or lw_ % 128:
+            pallas_mode = None  # unaligned external pyramid: XLA gather path
 
     for si, st in enumerate(plan):
         if st.extract:
@@ -335,9 +337,12 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
         s0 = min(samplings)
         # Levels must fit at least one patch (large tracking scales can
         # shrink the level below the crop size; the excess is zero-padded)
-        # and one Pallas gather tile (ops.pallas_gather.TILE = 128).
-        lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2, 130)
-        lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2, 130)
+        # and one Pallas gather tile, on the (8, 128) HBM tiling grid
+        # (ops.pallas_gather: lh >= 128 & %8, lw >= 256 & %128).
+        lh = max(int(np.ceil(im_height / s0)) + 2, sh + 2, 128)
+        lw = max(int(np.ceil(im_width / s0)) + 2, sw + 2, 256)
+        lh = -(-lh // 8) * 8
+        lw = -(-lw // 128) * 128
         crops_real = np.concatenate(all_crops, axis=0).astype(np.int32)
         # Tracking-mode grids can place crop origins outside the level;
         # crop_patches uses lax.dynamic_slice whose CLAMPED start would

@@ -11,13 +11,17 @@ TPU-native design (this kernel):
   canvas: each patch reads from its own grid level, where its box spans at
   most ~111 level texels even after the cascade's scale/angle refinement
   (scale drift is gated to (maxs/0.825)*1.1 = 1.31x and |angle| <= 24.75 deg,
-  engine/cascade.py discard rules), so a fixed 128x128 tile always covers it.
-- Per patch (one grid program each): DMA the 128x128 tile HBM->VMEM, then
-  perform the warp as an exact one-hot (nearest) or tent-weight (bilinear)
-  MATMUL gather: out[o] = sum_l Wx[o,l] * (Wy @ tile)[o,l]. The separable
+  engine/cascade.py discard rules), so a fixed 128x256 tile always covers it.
+- Per patch (one grid program each): DMA the tile HBM->VMEM, then perform
+  the warp as an exact one-hot (nearest) or tent-weight (bilinear) MATMUL
+  gather: out[o] = sum_l Wx[o,l] * (Wy @ tile)[o,l]. The separable
   row/column weight product reproduces nearest/bilinear sampling exactly for
   an arbitrary affine warp while running on the MXU instead of a scalar
   gather unit the TPU does not have.
+- HBM memrefs are (8, 128)-tiled, so DMA origins must be 8-aligned
+  (sublane) and 128-aligned (lane): origins are snapped DOWN to the tiling
+  grid and the tile is 128 rows x 256 lanes so the patch stays covered
+  after the snap (y slack 7 + extent 111 < 128; x slack 127 + 111 < 256).
 - Out-of-tile / out-of-level samples produce all-zero weight rows, matching
   the zero-fill of the reference's PIL path (rotate fills black).
 
@@ -38,40 +42,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128  # level-space tile side; fits any gated refinement box (see above)
+TILE_H = 128   # tile rows; origin 8-aligned
+TILE_W = 256   # tile lanes; origin 128-aligned
+# Back-compat alias used by tests / size checks (the guaranteed-covered
+# patch extent is governed by the 128-row dimension).
+TILE = TILE_H
 
 
-def _gather_kernel(levels_ref, origins_ref, coeffs_ref, pyr_ref, out_ref,
+def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
                    tile_ref, sem, *, oh: int, ow: int, bilinear: bool):
+    # All scalar-prefetch operands are 1-D: SMEM pads every ROW of a 2-D
+    # array to its allocation granule, which blows the 1MB SMEM budget.
     p = pl.program_id(0)
     lev = levels_ref[p]
-    oy = origins_ref[p, 0]
-    ox = origins_ref[p, 1]
+    # Origins are host-snapped onto the (8, 128) memref tiling grid; the
+    # multiple_of hints let Mosaic prove the DMA slice is tile-aligned.
+    oy = pl.multiple_of(oy_ref[p], 8)
+    ox = pl.multiple_of(ox_ref[p], 128)
     dma = pltpu.make_async_copy(
-        pyr_ref.at[lev, pl.ds(oy, TILE), pl.ds(ox, TILE)], tile_ref, sem)
+        pyr_ref.at[lev, pl.ds(oy, TILE_H), pl.ds(ox, TILE_W)], tile_ref, sem)
     dma.start()
 
     # Tile-relative continuous level coordinates of every output pixel:
     # lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output grid; coefficients
     # computed host-side in sample_patches_pyramid, prefetched via SMEM).
-    jj = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1) + 0.5
-    ii = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0) + 0.5
-    lx = (coeffs_ref[p, 0] * jj + coeffs_ref[p, 1] * ii
-          + coeffs_ref[p, 2]).reshape(oh * ow, 1)
-    ly = (coeffs_ref[p, 3] * jj + coeffs_ref[p, 4] * ii
-          + coeffs_ref[p, 5]).reshape(oh * ow, 1)
+    # Built directly in the flattened (oh*ow, 1) layout -- Mosaic does not
+    # lower a (oh, ow) -> (oh*ow, 1) shape cast.
+    o = jax.lax.broadcasted_iota(jnp.int32, (oh * ow, 1), 0)
+    ii = (o // ow).astype(jnp.float32) + 0.5
+    jj = (o % ow).astype(jnp.float32) + 0.5
+    c = [coeffs_ref[6 * p + k] for k in range(6)]
+    lx = c[0] * jj + c[1] * ii + c[2]
+    ly = c[3] * jj + c[4] * ii + c[5]
 
-    lane = jax.lax.broadcasted_iota(jnp.float32, (oh * ow, TILE), 1)
+    lane_h = jax.lax.broadcasted_iota(
+        jnp.int32, (oh * ow, TILE_H), 1).astype(jnp.float32)
+    lane_w = jax.lax.broadcasted_iota(
+        jnp.int32, (oh * ow, TILE_W), 1).astype(jnp.float32)
     if bilinear:
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - lane))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - lane))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - lane_h))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - lane_w))
     else:
-        wy = (jnp.round(ly) == lane).astype(jnp.float32)
-        wx = (jnp.round(lx) == lane).astype(jnp.float32)
+        wy = (jnp.round(ly) == lane_h).astype(jnp.float32)
+        wx = (jnp.round(lx) == lane_w).astype(jnp.float32)
 
     dma.wait()
     g = jnp.dot(wy, tile_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.sum(g * wx, axis=1).reshape(oh, ow)
+    out_ref[...] = jnp.sum(g * wx, axis=1, keepdims=True)
+
+
+def _snap_down(v, m):
+    return (v // m) * m
 
 
 @functools.partial(jax.jit,
@@ -91,7 +112,8 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
     ops.pyramid.build_pyramid).
 
     Args:
-        pyramid: (L, lh, lw) float32 levels, lh/lw >= TILE.
+        pyramid: (L, lh, lw) float32 levels; lh % 8 == 0, lh >= 128,
+            lw % 128 == 0, lw >= 256 (DMA tiling alignment, see module doc).
         scales: (L,) float32 ladder scales (level texel = s canvas pixels).
         levels: (B,) int32 level index per patch.
         boxes/angles: as in extract_patches_rotate.
@@ -100,8 +122,10 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
     Returns (B, oh, ow) float32 patches.
     """
     L, lh, lw = pyramid.shape
-    if lh < TILE or lw < TILE:
-        raise ValueError(f"pyramid levels {lh}x{lw} smaller than {TILE}")
+    if lh < TILE_H or lw < TILE_W or lh % 8 or lw % 128:
+        raise ValueError(
+            f"pyramid levels {lh}x{lw} must be >= {TILE_H}x{TILE_W} and "
+            f"(8, 128)-aligned")
     oh, ow = out_hw
     levels = levels.astype(jnp.int32)
     s_k = scales.astype(jnp.float32)[levels]
@@ -115,47 +139,53 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
     co = jnp.cos(rad)
     si = jnp.sin(rad)
 
-    # Tile origin: center the tile on the patch center (level coords).
-    lcx = cx / s_k - 0.5
-    lcy = cy / s_k - 0.5
-    oxf = jnp.clip(jnp.round(lcx) - TILE // 2, 0, lw - TILE)
-    oyf = jnp.clip(jnp.round(lcy) - TILE // 2, 0, lh - TILE)
-    origins = jnp.stack([oyf, oxf], axis=1).astype(jnp.int32)
+    # Tile origin: cover the patch center, snapped DOWN onto the (8, 128)
+    # memref tiling grid (the x tile is 256 wide so the <=127 snap plus the
+    # <=56-texel patch half-extent still fit).
+    lcx = jnp.round(cx / s_k - 0.5).astype(jnp.int32)
+    lcy = jnp.round(cy / s_k - 0.5).astype(jnp.int32)
+    oxi = _snap_down(jnp.clip(lcx - 56, 0, lw - TILE_W), 128)
+    oyi = _snap_down(jnp.clip(lcy - 56, 0, lh - TILE_H), 8)
 
     # us(i,j) = cx + co*(x0 - cx + fx*bw) - si*(y0 - cy + fy*bh) with
     # fx = (j+.5)/ow (ops/patches.py math); level x = us/s_k - 0.5 - ox.
+    oxf = oxi.astype(jnp.float32)
+    oyf = oyi.astype(jnp.float32)
     ax = co * bw / (ow * s_k)
     bx = -si * bh / (oh * s_k)
     cx0 = (cx + co * (x0 - cx) - si * (y0 - cy)) / s_k - 0.5 - oxf
     ay = si * bw / (ow * s_k)
     by = co * bh / (oh * s_k)
     cy0 = (cy + si * (x0 - cx) + co * (y0 - cy)) / s_k - 0.5 - oyf
-    coeffs = jnp.stack([ax, bx, cx0, ay, by, cy0], axis=1)
+    coeffs = jnp.stack([ax, bx, cx0, ay, by, cy0], axis=1).reshape(-1)
 
     B = boxes.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            # The pyramid must STAY in HBM (a 1000px-canvas pyramid is ~17MB,
+            # over VMEM) -- tiles are DMA'd per patch inside the kernel.
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, oh, ow), lambda p, lv, og, cf: (p, 0, 0),
+        out_specs=pl.BlockSpec((oh * ow, 1), lambda p, *_: (p, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE, TILE), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kern = functools.partial(_gather_kernel, oh=oh, ow=ow,
                              bilinear=(method == "bilinear"))
-    return pl.pallas_call(
+    flat = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * oh * ow, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(levels, origins, coeffs, pyramid.astype(jnp.float32))
+    )(levels, oyi, oxi, coeffs, pyramid.astype(jnp.float32))
+    return flat.reshape(B, oh, ow)
 
 
 def gather_flops(n_patches: int, oh: int = 64, ow: int = 64) -> int:
     """Analytic MXU FLOPs of the kernel (the one-hot matmul dominates)."""
-    return 2 * n_patches * oh * ow * TILE
+    return 2 * n_patches * oh * ow * TILE_H * (TILE_W // TILE_H + 1)

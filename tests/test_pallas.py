@@ -9,12 +9,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pyfaceanalysis_tpu.ops.pallas_gather import TILE, sample_patches_pyramid
+from pyfaceanalysis_tpu.ops.pallas_gather import (
+    TILE_H, TILE_W, sample_patches_pyramid,
+)
 from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
 from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
 
 
-def _rand_image(key, h=TILE, w=TILE):
+def _rand_image(key, h=TILE_H, w=TILE_W):
     return jax.random.uniform(key, (h, w), jnp.float32)
 
 
@@ -23,12 +25,12 @@ def test_matches_canvas_gather_at_unit_scale():
     reproduce extract_patches_rotate(..., nearest) exactly."""
     key = jax.random.PRNGKey(0)
     img = _rand_image(key)
-    pyr = build_pyramid(img, (1.0,), (TILE, TILE))
+    pyr = build_pyramid(img, (1.0,), (TILE_H, TILE_W))
     rng = np.random.RandomState(1)
     B = 24
-    # Boxes well inside the 128x128 tile, sides 40-64, angles +-22.5 deg.
+    # Boxes inside the level, sides 40-64, angles +-22.5 deg.
     side = rng.uniform(40, 64, B)
-    x0 = rng.uniform(25, 95 - side)
+    x0 = rng.uniform(25, TILE_W - 33 - side)
     y0 = rng.uniform(25, 95 - side)
     boxes = jnp.asarray(
         np.stack([x0, y0, x0 + side - 1, y0 + side - 1], 1), jnp.float32)
@@ -46,7 +48,7 @@ def test_matches_canvas_gather_at_unit_scale():
 def test_bilinear_matches_canvas_gather_at_unit_scale():
     key = jax.random.PRNGKey(2)
     img = _rand_image(key)
-    pyr = build_pyramid(img, (1.0,), (TILE, TILE))
+    pyr = build_pyramid(img, (1.0,), (TILE_H, TILE_W))
     boxes = jnp.asarray([[30.0, 28.0, 93.0, 91.0],
                          [40.5, 35.25, 90.5, 85.25]], jnp.float32)
     angles = jnp.asarray([10.0, -17.5], jnp.float32)
@@ -113,7 +115,7 @@ def test_multi_level_selection():
 
 def test_out_of_level_samples_are_zero():
     img = _rand_image(jax.random.PRNGKey(5))
-    pyr = build_pyramid(img, (1.0,), (TILE, TILE))
+    pyr = build_pyramid(img, (1.0,), (TILE_H, TILE_W))
     # Box hanging off the top-left corner of the level.
     boxes = jnp.asarray([[-30.0, -25.0, 33.0, 38.0]], jnp.float32)
     angles = jnp.zeros((1,), jnp.float32)
@@ -146,7 +148,7 @@ def test_run_cascade_pallas_refinement_path():
 
     geom = NetGeometry()
     img = _rand_image(jax.random.PRNGKey(7), 160, 160)
-    pyr = build_pyramid(img, (1.0,), (160, 160))
+    pyr = build_pyramid(img, (1.0,), (160, 256))
     specs, params = _identity_net()
     # Disc (grid crop) -> PosX (no-op shift) -> Disc (REFINEMENT extraction).
     plan = (cascade_mod.StagePlan("Disc", 0, True, 0, 0, 4),
