@@ -163,18 +163,21 @@ def _device_profile(detector, image, runs: int = 10):
     eye_net = model.nets["net_eye"]
 
     def call():
-        pyramid = crops = None
+        pyramid = crops = scales_arr = None
         if use_pyr:
+            import jax.numpy as jnp
+
             from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
             pyramid = build_pyramid(device_image, pyr.scales, pyr.level_hw)
             crops = pyr.crops
+            scales_arr = jnp.asarray(pyr.scales, jnp.float32)
         return detector_mod._detect_core(
             model.plan, model.det_specs, geom, model.spec.eye_geom, cfg,
             eye_net.specs, model.clf_input_dim("EyeLX"),
             model.clf_input_dim("EyeLY"), cfg.max_detections,
             device_image, model.det_params, model.det_clfs,
             tuple(eye_net.params), model.classifier("EyeLX"),
-            model.classifier("EyeLY"), state, pyramid, crops)
+            model.classifier("EyeLY"), state, pyramid, crops, scales_arr)
 
     call().block_until_ready()            # warm / compile
     t0 = time.time()

@@ -108,6 +108,15 @@ class DetectorConfig:
     # NMS threshold on relative eye error (face_analysis.py:217)
     purge_threshold: float = 0.25
 
+    # Gain on the PAng coordinate update (1.0 = the reference's full step,
+    # face_analysis.py:825-827). -1 = model decides (the trainer records a
+    # calibrated value in the artifact manifest; engine.detector resolves
+    # it like detection_contrast_normalize).
+    pang_gain: float = -1.0
+
+    def resolved_pang_gain(self) -> float:
+        return self.pang_gain if self.pang_gain >= 0 else 1.0
+
     # TPU execution: patch batches are padded to the next bucket size so XLA
     # compiles a handful of shapes instead of one per grid (SURVEY.md para 5b).
     bucket_sizes: Tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384)

@@ -230,7 +230,13 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             mask = mask & (jnp.abs(drift) <=
                            max_dy * cfg.tolerance_posxy_deviation)
         elif st.kind == "PAng":
-            angles = angles + reg
+            # pang_gain 1.0 = reference parity (face_analysis.py:825-827);
+            # < 1 damps the angle step. On real photographs the angle
+            # regressor is the weakest-transfer stage and a saturated wrong
+            # estimate rotates every later extraction into a Disc kill;
+            # damping trades convergence speed (3 PAng stages still reach
+            # ~88% of a correct estimate at gain 0.5) for blunder damage.
+            angles = angles + cfg.resolved_pang_gain() * reg
             mask = mask & (jnp.abs(angles) <=
                            geom.Dang * cfg.tolerance_angle_deviation)
         elif st.kind == "Scale":

@@ -207,6 +207,9 @@ class FaceDetector:
             config = dataclasses.replace(
                 config, detection_contrast_normalize=bool(
                     calib.get("detection_contrast_normalize", False)))
+        if config.pang_gain < 0 and "pang_gain" in calib:
+            config = dataclasses.replace(
+                config, pang_gain=float(calib["pang_gain"]))
         self.model = model
         self.config = config
         self.face_has_been_found = False

@@ -157,11 +157,20 @@ class TrainConfig:
     # renderer and photographs. Recorded in the calibration manifest so
     # the detector applies the same transform (engine.cascade).
     contrast_normalize: bool = True
+    # Calibrated PAng step gain shipped in the manifest (see
+    # DetectorConfig.pang_gain; swept on real-photo diagnosis in round 2).
+    pang_gain: float = 1.0
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
 # = reuse previous features (matches Pipeline_experimental.txt's layout).
 _STAGE_LAYOUT = [
+    # A dedicated wide-field angle net for the PAng stages was A/B-tested in
+    # round 2 (base_field=8/d=18, same pose walks): real-photo angle corr
+    # was IDENTICAL to the shared net (0.473 vs 0.485) and the saturated
+    # extreme outputs rotated windows into Disc kills (0 TNS survivors vs
+    # 2) -- reverted; the angle fix is the calibrated PAng gain instead
+    # (DetectorConfig.pang_gain, docs/ROUND2_NOTES.md).
     ("Disc1", "net_disc", "clf_Disc1", 9),
     ("PosX0", "net_pose0", "clf_PosX0", 10),
     ("PosY0", "None0", "clf_PosY0", 20),
@@ -269,10 +278,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                             label_weights=(1.0, 1.0, 3.0, 2.0))
         nets[name] = net
         feats = _execute(net, x)
-        for lab_name, stage, dim in [("dx", f"PosX{it}", 10 if it == "0" else 20),
-                                     ("dy", f"PosY{it}", 20),
-                                     ("ang", f"PAng{it}", 20),
-                                     ("scale", f"Scale{it}", 20)]:
+        for lab_name, dim in [("dx", 10 if it == "0" else 20),
+                              ("dy", 20), ("ang", 20), ("scale", 20)]:
             cname = {"dx": "PosX", "dy": "PosY", "ang": "PAng",
                      "scale": "Scale"}[lab_name] + it
             clfs[f"clf_{cname}"] = fit_regressor_bins(
@@ -387,5 +394,6 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         out_dir, face_geom, eye_geom, age_geom,
         calibration={"last_cut_off_face": last_cut,
                      "detection_contrast_normalize":
-                         bool(cfg.contrast_normalize)})
+                         bool(cfg.contrast_normalize),
+                     "pang_gain": float(cfg.pang_gain)})
     log(f"[train] wrote pipeline artifacts to {out_dir}")

@@ -28,6 +28,11 @@ def main(argv=None):
                     default="/root/reference/sample_images/TNS-Group.jpg")
     ap.add_argument("--smallest_face", type=float, default=0.1)
     ap.add_argument("--model", default="SavedNetworksTPU")
+    ap.add_argument("--pang_gain", type=float, default=-1.0,
+                    help="override the PAng step gain (-1 = model default)")
+    ap.add_argument("--cutoffs", default="",
+                    help="override cut_offs_face: comma list of "
+                         "'serial:value' pairs, e.g. '5:0.8,7:0.65,9:0.5'")
     args = ap.parse_args(argv)
 
     from pyfaceanalysis_tpu.config import DESIRED_SAMPLING, DetectorConfig
@@ -36,7 +41,17 @@ def main(argv=None):
     from pyfaceanalysis_tpu.io.writers import load_true_coordinates
 
     model = DetectionModel.load(args.model)
-    cfg = DetectorConfig(smallest_face=args.smallest_face)
+    kw = {}
+    if args.cutoffs:
+        ladder = list(DetectorConfig.cut_offs_face)
+        for pair in args.cutoffs.split(","):
+            s, v = pair.split(":")
+            ladder[int(s)] = float(v)
+        kw["cut_offs_face"] = tuple(ladder)
+        if ladder[9] != DetectorConfig.cut_offs_face[9]:
+            kw["last_cut_off_face"] = ladder[9]
+    cfg = DetectorConfig(smallest_face=args.smallest_face,
+                         pang_gain=args.pang_gain, **kw)
     det = FaceDetector(model, cfg)
     image, factor = load_image(args.image, cfg.prescale_size)
     print(f"image {image.shape}, prescale factor {factor:.4f}")

@@ -87,14 +87,18 @@ def main(argv=None):
         flat = contrast_normalize_avg_std(flat * 255.0, 137.5,
                                           0.40 * 255.0) / 255.0
     feats = np.asarray(net.execute(flat))
+    # PAng runs off the dedicated angle net when the pipeline ships one.
+    anet = model.nets.get(f"net_ang{it}")
+    afeats = np.asarray(anet.execute(flat)) if anet is not None else feats
 
     print(f"net_pose{it} on {len(coords)} real faces, {n} samples "
-          f"(contrast_norm={cnorm})")
+          f"(contrast_norm={cnorm}, angle_net={anet is not None})")
     truth = {"PosX": dx, "PosY": dy, "PAng": ang, "Scale": smp}
     for kind in ("PosX", "PosY", "PAng", "Scale"):
         clf = model.classifier(f"{kind}{it}")
+        f_in = afeats if kind == "PAng" else feats
         out = np.asarray(clf.regression(
-            jnp.asarray(feats[:, : clf.input_dim])))
+            jnp.asarray(f_in[:, : clf.input_dim])))
         t = truth[kind]
         c = np.corrcoef(out, t)[0, 1]
         print(f"  {kind}{it}: corr={c:+.3f}  bias={np.mean(out - t):+7.2f}"

@@ -71,14 +71,23 @@ def main(argv=None):
     results[f"pyramid_crop[{B}]"] = timeit(
         lambda: crop_patches(pyramid, pyr.crops, (64, 64)))
 
-    # 2. rotated gather at refinement width (mid_compact)
+    # 2. rotated gather at refinement width (mid_compact):
+    #    XLA canvas gather (before) vs Pallas pyramid kernel (after).
     K = min(cfg.mid_compact or B, B)
     boxes_k = state.boxes[:K]
     angles_k = state.angles[:K]
     for meth in ("nearest", "bilinear"):
-        results[f"rot_gather[{K},{meth}]"] = timeit(
+        results[f"rot_gather_xla[{K},{meth}]"] = timeit(
             lambda m=meth: extract_patches_rotate(
                 device_image, boxes_k, angles_k, (64, 64), method=m))
+    from pyfaceanalysis_tpu.ops.pallas_gather import sample_patches_pyramid
+    scales_arr = jnp.asarray(pyr.scales, jnp.float32)
+    levels_k = pyr.crops[:K, 0]
+    for meth in ("nearest", "bilinear"):
+        results[f"rot_gather_pallas[{K},{meth}]"] = timeit(
+            lambda m=meth: sample_patches_pyramid(
+                pyramid, scales_arr, levels_k, boxes_k, angles_k,
+                (64, 64), method=m))
 
     # 3. network execution at grid and refinement widths
     rng = np.random.RandomState(0)
@@ -106,7 +115,8 @@ def main(argv=None):
             model.clf_input_dim("EyeLY"), cfg.max_detections,
             device_image, model.det_params, model.det_clfs,
             tuple(eye_net.params), model.classifier("EyeLX"),
-            model.classifier("EyeLY"), state, p, pyr.crops)
+            model.classifier("EyeLY"), state, p, pyr.crops,
+            jnp.asarray(pyr.scales, jnp.float32))
 
     results["full_detect_core"] = timeit(full, runs=10)
 
