@@ -174,12 +174,12 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
         eye_sampling=EYE_SAMPLING)
     eye_boxes = jnp.concatenate([l_boxes, r_boxes], axis=0)
     both_angles = jnp.concatenate([angles, angles], axis=0)
-    new_boxes, too_far = eyes_mod.localize_eyes(
+    new_boxes, max_reg = eyes_mod.localize_eyes(
         eye_specs, dim_x, dim_y,
         (eye_geom.subimage_height, eye_geom.subimage_width),
-        cfg.tolerance_xy_eye,
         image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles)
     l_new, r_new = new_boxes[:k_out], new_boxes[k_out:]
+    too_far = max_reg >= cfg.tolerance_xy_eye
     bad = too_far[:k_out] | too_far[k_out:]
     valid = valid & jnp.logical_not(bad)
     l_c = (l_new[:, 0:2] + l_new[:, 2:4]) / 2.0
@@ -467,16 +467,15 @@ class FaceDetector:
 
         eye_net = model.nets["net_eye"]
         eg = model.spec.eye_geom
-        new_boxes, too_far = eyes_mod.localize_eyes(
+        new_boxes, max_reg = eyes_mod.localize_eyes(
             eye_net.specs, model.clf_input_dim("EyeLX"),
             model.clf_input_dim("EyeLY"),
             (eg.subimage_height, eg.subimage_width),
-            cfg.tolerance_xy_eye,
             device_image, tuple(eye_net.params),
             model.classifier("EyeLX"), model.classifier("EyeLY"),
             jnp.asarray(eye_boxes), jnp.asarray(both_angles))
         new_boxes = np.asarray(new_boxes)
-        too_far = np.asarray(too_far)
+        too_far = np.asarray(max_reg) >= cfg.tolerance_xy_eye
 
         l_new, r_new = new_boxes[:n], new_boxes[n:2 * n]
         bad = too_far[:n] | too_far[n:2 * n]

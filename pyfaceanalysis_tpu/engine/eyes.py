@@ -30,10 +30,8 @@ from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
 from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
 
 
-@partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw",
-                                   "tolerance"))
+@partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw"))
 def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
-                  tolerance: float,
                   image: jax.Array, net_params, clf_x, clf_y,
                   eye_boxes: jax.Array, angles: jax.Array
                   ) -> Tuple[jax.Array, jax.Array]:
@@ -44,7 +42,10 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
         angles: (B,) face angles in degrees.
 
     Returns:
-        (new_boxes (B, 4), too_far (B,) bool).
+        (new_boxes (B, 4), max_reg (B,) = max(|reg_x|, |reg_y|)).
+        Callers apply the "too far" gate as max_reg >= tolerance_xy_eye
+        (face_analysis.py:1073) -- returning the magnitude instead of the
+        boolean lets diagnosis tools sweep the gate without re-running.
     """
     h, w = patch_hw
     # NEAREST like every reference extraction (interpolation_formats default,
@@ -56,7 +57,7 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
     sl = apply_network(specs, net_params, flat)
     reg_x = clf_x.regression(sl[:, :dim_x])
     reg_y = clf_y.regression(sl[:, :dim_y])
-    too_far = (jnp.abs(reg_x) >= tolerance) | (jnp.abs(reg_y) >= tolerance)
+    max_reg = jnp.maximum(jnp.abs(reg_x), jnp.abs(reg_y))
 
     box_w = jnp.abs(eye_boxes[:, 2] - eye_boxes[:, 0])
     box_h = jnp.abs(eye_boxes[:, 3] - eye_boxes[:, 1])
@@ -69,4 +70,4 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
     dy = off_y * jnp.cos(rad) + off_x * jnp.sin(rad)
     new_boxes = jnp.stack([eye_boxes[:, 0] - dx, eye_boxes[:, 1] - dy,
                            eye_boxes[:, 2] - dx, eye_boxes[:, 3] - dy], axis=1)
-    return new_boxes, too_far
+    return new_boxes, max_reg

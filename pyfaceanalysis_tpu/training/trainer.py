@@ -158,8 +158,11 @@ class TrainConfig:
     # the detector applies the same transform (engine.cascade).
     contrast_normalize: bool = True
     # Calibrated PAng step gain shipped in the manifest (see
-    # DetectorConfig.pang_gain; swept on real-photo diagnosis in round 2).
-    pang_gain: float = 1.0
+    # DetectorConfig.pang_gain). Swept on the real-photo diagnosis in
+    # round 2: 0.25 doubled surviving GT faces vs the reference's full
+    # step because saturated-wrong angle estimates rotate later
+    # extractions into Disc kills (docs/ROUND2_NOTES.md).
+    pang_gain: float = 0.25
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
