@@ -327,7 +327,8 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                            contrast_normalize)
 
 
-def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
+def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                real_source=None, real_frac: float = 0.0
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Eye-localization patches: 64x64 crops of eye boxes with the eye
     offset walking within +-10 label units.
@@ -335,9 +336,14 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry
     Label convention (must invert engine.eyes apply): reg = 10 units
     corresponds to an image offset of (10 / 2.3719) * box_w / 64 px; the
     label measures (box_center - eye) rotated into the patch frame.
+
+    Real annotated faces join at ``real_frac`` (their eye annotations
+    drive the same walks) -- without them the eye regressions saturate on
+    photographs exactly like the pose nets did (docs/ROUND2_NOTES.md).
     """
     k_face, k_dx, k_dy, k_ang, k_w, k_lr = jax.random.split(key, 6)
-    imgs, attrs = _render_batch(k_face, num_faces, angle_range=20.0)
+    imgs, attrs = _face_canvases(k_face, num_faces, 20.0,
+                                 real_source, real_frac)
     F = attrs["face_size"]
     theta = attrs["angle"]
     M, T = num_faces, steps

@@ -323,7 +323,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     else:
         log("[train] net_eye: rendering eye walks...")
         x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces,
-                                         cfg.eye_steps, eye_geom)
+                                         cfg.eye_steps, eye_geom,
+                                         real_source=real_source,
+                                         real_frac=cfg.real_frac)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim)
         lab2 = np.stack([labels["x"], labels["y"]], axis=1)
         net = train_network(net, x, graph="serial", labels=lab2,
