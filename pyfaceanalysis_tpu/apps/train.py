@@ -40,12 +40,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--real_gt_file", default="",
                    help="annotation file for real faces "
                         "(default data/train_faces_gt.txt)")
+    p.add_argument("--disc_node", default="sfa", choices=["sfa", "igsfa"])
+    p.add_argument("--pose_node", default="sfa", choices=["sfa", "igsfa"])
+    p.add_argument("--eye_node", default="sfa", choices=["sfa", "igsfa"])
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
 
     real = dict(real_frac=args.real_frac, real_bg_frac=args.real_bg_frac,
-                real_gt_file=args.real_gt_file)
+                real_gt_file=args.real_gt_file, disc_node=args.disc_node,
+                pose_node=args.pose_node, eye_node=args.eye_node)
     if args.quick:
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,

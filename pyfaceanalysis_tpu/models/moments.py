@@ -165,3 +165,42 @@ def solve_pca_device(B: jax.Array, out_dim: int) -> jax.Array:
     """Principal ``out_dim`` eigenvectors per field, on device."""
     _, evecs = jnp.linalg.eigh(B)
     return evecs[..., ::-1][..., :out_dim]
+
+
+@partial(jax.jit, static_argnames=("slow_dim", "out_dim"))
+def solve_igsfa_device(A: jax.Array, B: jax.Array, slow_dim: int,
+                       out_dim: int, reg: float = 1e-5) -> jax.Array:
+    """Information-preserving GSFA (cuicuilco iGSFANode equivalent,
+    SURVEY.md 2.3): ``slow_dim`` GSFA directions plus a whitened PCA of the
+    slow-reconstruction residual, folded into ONE (F, D, out_dim) affine
+    map.
+
+    Everything derives from the already-accumulated second moments (A, B):
+    with W the slow projection and xc centered inputs, the least-squares
+    reconstruction coefficient is ``coef = (W^T B W)^-1 W^T B`` and the
+    residual covariance is ``B - G^T S^-1 G`` (G = W^T B) -- no second data
+    pass. The PCA part is whitened so every output has ~unit variance like
+    the GSFA part (downstream expansions assume bounded inputs; see
+    LayerSpec.clip)."""
+    W = solve_gsfa_device(A, B, slow_dim)                  # (F, D, s)
+    G = jnp.einsum("fds,fde->fse", W, B,
+                   preferred_element_type=jnp.float32)     # W^T B (F, s, D)
+    S = jnp.einsum("fse,fet->fst", G, W,
+                   preferred_element_type=jnp.float32)     # W^T B W
+    s_dim = S.shape[-1]
+    trS = jnp.trace(S, axis1=-2, axis2=-1)[:, None, None] / s_dim
+    coef = jnp.linalg.solve(S + (reg * trS + 1e-12) * jnp.eye(s_dim), G)
+    resid_cov = B - jnp.einsum("fsd,fse->fde", coef, G)
+    resid_cov = (resid_cov + jnp.swapaxes(resid_cov, -1, -2)) * 0.5
+    evals, evecs = jnp.linalg.eigh(resid_cov)
+    pca_dim = out_dim - slow_dim
+    P = evecs[..., ::-1][..., :pca_dim]                    # (F, D, p)
+    lam = evals[..., ::-1][..., :pca_dim]
+    top = evals[..., -1][:, None]
+    scale = jnp.where(lam <= 1e-3 * top, 0.0,
+                      1.0 / jnp.sqrt(jnp.maximum(lam, 1e-12)))
+    # Residual projection in input coordinates: (xc - xc W coef) P
+    # = xc (P - W (coef P)); whitened per direction.
+    WcP = jnp.einsum("fds,fsp->fdp", W, jnp.einsum("fsd,fdp->fsp", coef, P))
+    W_pca = (P - WcP) * scale[:, None, :]
+    return jnp.concatenate([W, W_pca], axis=-1)

@@ -77,7 +77,11 @@ def train_network(net: HierarchicalNetwork, x: np.ndarray,
             mean, B, A = moments.gsfa_moments(inp, graph, labels=labels,
                                               num_groups=num_groups,
                                               label_weights=label_weights)
-            W = moments.solve_gsfa_device(A, B, spec.out_dim)
+            if spec.node == "igsfa":
+                slow = spec.slow_dim or max(spec.out_dim // 2, 1)
+                W = moments.solve_igsfa_device(A, B, slow, spec.out_dim)
+            else:
+                W = moments.solve_gsfa_device(A, B, spec.out_dim)
         node = LinearNode(mean, W)
         params.append(node)
         cur = _apply(spec, node, cur)
@@ -163,6 +167,12 @@ class TrainConfig:
     # step because saturated-wrong angle estimates rotate later
     # extractions into Disc kills (docs/ROUND2_NOTES.md).
     pang_gain: float = 0.25
+    # Node type for the detection nets: "sfa" or "igsfa" (slow features +
+    # whitened residual PCA per layer, cuicuilco iGSFANode equivalent --
+    # models.moments.solve_igsfa_device). A/B knob per family.
+    disc_node: str = "sfa"
+    pose_node: str = "sfa"
+    eye_node: str = "sfa"
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -268,7 +278,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             keys[kidx], cfg.num_faces, cfg.steps_per_face, face_geom,
             *ranges, real_source=real_source, real_frac=cfg.real_frac,
             contrast_normalize=cfg.contrast_normalize)
-        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim,
+                                   node=cfg.pose_node)
         log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
         # Combined 4-label serial graph: features must encode ALL pose
         # parameters (dx, dy, angle, scale), not per-face identity. Angle
@@ -305,7 +316,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             real_source=real_source, real_frac=cfg.real_frac,
             real_bg_frac=cfg.real_bg_frac,
             contrast_normalize=cfg.contrast_normalize)
-        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim,
+                                   node=cfg.disc_node)
         net = train_network(net, x, graph="clustered", labels=cls,
                             verbose=verbose)
         nets[name] = net
@@ -326,7 +338,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                          cfg.eye_steps, eye_geom,
                                          real_source=real_source,
                                          real_frac=cfg.real_frac)
-        net = builder.build_higsfa(64, top_dim=cfg.top_dim)
+        net = builder.build_higsfa(64, top_dim=cfg.top_dim,
+                                   node=cfg.eye_node)
         lab2 = np.stack([labels["x"], labels["y"]], axis=1)
         net = train_network(net, x, graph="serial", labels=lab2,
                             num_groups=cfg.pose_classes, verbose=verbose)

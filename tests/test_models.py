@@ -108,6 +108,29 @@ class TestSFA:
         assert y.shape == (3000, 3)
         assert abs(np.corrcoef(y[:, 0], np.sin(t))[0, 1]) > 0.95
 
+    def test_igsfa_device_matches_structure(self):
+        """solve_igsfa_device: slow part == GSFA directions; PCA part is
+        whitened and decorrelated from the slow reconstruction."""
+        from pyfaceanalysis_tpu.models import moments
+
+        t = np.linspace(0, 6 * np.pi, 4000)
+        rng = np.random.RandomState(7)
+        src = np.stack([np.sin(t), np.sin(17 * t), np.sin(29 * t),
+                        np.sin(41 * t), np.sin(53 * t), np.sin(67 * t)], 1)
+        x = (src @ rng.randn(6, 8)).astype(np.float32)[:, None, :]  # 1 field
+        mean, B, A = moments.gsfa_moments(jnp.asarray(x), "temporal")
+        W = np.asarray(moments.solve_igsfa_device(A, B, 2, 6))
+        Ws = np.asarray(moments.solve_gsfa_device(A, B, 2))
+        assert np.allclose(W[..., :2], Ws, atol=1e-4)
+        y = np.einsum("nfd,fdo->nfo", x - np.asarray(mean), W)[:, 0, :]
+        # slowest output tracks the slow source
+        assert abs(np.corrcoef(y[:, 0], np.sin(t))[0, 1]) > 0.95
+        # PCA outputs: ~unit variance, decorrelated from slow outputs
+        var = y.var(axis=0)
+        assert np.all(var[2:] > 0.5) and np.all(var[2:] < 2.0)
+        c = np.corrcoef(y.T)
+        assert np.all(np.abs(c[:2, 2:]) < 0.15)
+
 
 class TestNetworks:
     def test_builder_shapes(self):
