@@ -340,7 +340,13 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
 
     pyr = None
     if samplings:
-        s0 = min(samplings)
+        # A NATIVE-resolution level (scale 1.0) is appended after the
+        # detection ladder: eye boxes sample the image at EYE_SAMPLING
+        # pitch, and routing them through the pyramid kernel (with
+        # per-box level selection, engine.eyes) needs full detail for
+        # upsampled (small) eye boxes. Nearest at scale 1.0 reproduces the
+        # image exactly, so this is bit-identical for those boxes.
+        s0 = min(min(samplings), 1.0)
         # Levels must fit at least one patch (large tracking scales can
         # shrink the level below the crop size; the excess is zero-padded)
         # and one Pallas gather tile, on the (8, 128) HBM tiling grid
@@ -360,6 +366,6 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
                 or (crops_real[:, 2] > lw - sw).any()):
             return state, n_real, None
         crops = padded(crops_real)
-        pyr = GridPyramidInfo(tuple(float(s) for s in samplings),
+        pyr = GridPyramidInfo(tuple(float(s) for s in samplings) + (1.0,),
                               (lh, lw), jnp.asarray(crops))
     return state, n_real, pyr

@@ -174,10 +174,17 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
         eye_sampling=EYE_SAMPLING)
     eye_boxes = jnp.concatenate([l_boxes, r_boxes], axis=0)
     both_angles = jnp.concatenate([angles, angles], axis=0)
+    eye_pyr = eye_scales = None
+    if (pyramid is not None and pyr_scales is not None
+            and cfg.pallas_refine != "off"
+            and pyramid.shape[1] >= 128 and pyramid.shape[2] >= 256
+            and pyramid.shape[1] % 8 == 0 and pyramid.shape[2] % 128 == 0):
+        eye_pyr, eye_scales = pyramid, pyr_scales
     new_boxes, max_reg = eyes_mod.localize_eyes(
         eye_specs, dim_x, dim_y,
         (eye_geom.subimage_height, eye_geom.subimage_width),
-        image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles)
+        image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles,
+        pyramid=eye_pyr, pyr_scales=eye_scales)
     l_new, r_new = new_boxes[:k_out], new_boxes[k_out:]
     too_far = max_reg >= cfg.tolerance_xy_eye
     bad = too_far[:k_out] | too_far[k_out:]
@@ -298,7 +305,8 @@ class FaceDetector:
             if len(boxes) == 0:
                 self._update_tracking(np.zeros((0, 10)))
                 return []
-            rows = self._localize_eyes(device_image, boxes, angles, confs)
+            rows = self._localize_eyes(device_image, boxes, angles, confs,
+                                       pyramid=pyramid, pyr_scales=scales_arr)
         else:
             eye_net = model.nets["net_eye"]
             block = _detect_core(
@@ -444,7 +452,8 @@ class FaceDetector:
 
     # -- eye localization ------------------------------------------------------
 
-    def _localize_eyes(self, device_image, boxes, angles, confs) -> np.ndarray:
+    def _localize_eyes(self, device_image, boxes, angles, confs,
+                       pyramid=None, pyr_scales=None) -> np.ndarray:
         """Approximate eye boxes -> EyeLX/EyeLY refinement -> (N, 10) rows.
 
         Both eyes are batched through one network execution (left-eye path
@@ -467,13 +476,20 @@ class FaceDetector:
 
         eye_net = model.nets["net_eye"]
         eg = model.spec.eye_geom
+        eye_pyr = eye_scales = None
+        if (pyramid is not None and pyr_scales is not None
+                and cfg.pallas_refine != "off"
+                and pyramid.shape[1] >= 128 and pyramid.shape[2] >= 256
+                and pyramid.shape[1] % 8 == 0 and pyramid.shape[2] % 128 == 0):
+            eye_pyr, eye_scales = pyramid, pyr_scales
         new_boxes, max_reg = eyes_mod.localize_eyes(
             eye_net.specs, model.clf_input_dim("EyeLX"),
             model.clf_input_dim("EyeLY"),
             (eg.subimage_height, eg.subimage_width),
             device_image, tuple(eye_net.params),
             model.classifier("EyeLX"), model.classifier("EyeLY"),
-            jnp.asarray(eye_boxes), jnp.asarray(both_angles))
+            jnp.asarray(eye_boxes), jnp.asarray(both_angles),
+            pyramid=eye_pyr, pyr_scales=eye_scales)
         new_boxes = np.asarray(new_boxes)
         too_far = np.asarray(max_reg) >= cfg.tolerance_xy_eye
 

@@ -50,18 +50,36 @@ TILE = TILE_H
 
 
 def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
-                   tile_ref, sem, *, oh: int, ow: int, bilinear: bool):
+                   tiles_ref, sems, *, oh: int, ow: int, bilinear: bool,
+                   n_prog: int):
     # All scalar-prefetch operands are 1-D: SMEM pads every ROW of a 2-D
     # array to its allocation granule, which blows the 1MB SMEM budget.
+    #
+    # Two-slot DMA pipeline across grid steps: step p waits on the tile that
+    # step p-1 prefetched and prefetches the tile for p+1 before computing,
+    # so the HBM copy latency hides behind the sampling math (scratch
+    # persists across sequential grid steps on TPU). One-copy-per-program
+    # with start->wait in the same step serialized ~2-3us of DMA latency
+    # into every patch.
     p = pl.program_id(0)
-    lev = levels_ref[p]
-    # Origins are host-snapped onto the (8, 128) memref tiling grid; the
-    # multiple_of hints let Mosaic prove the DMA slice is tile-aligned.
-    oy = pl.multiple_of(oy_ref[p], 8)
-    ox = pl.multiple_of(ox_ref[p], 128)
-    dma = pltpu.make_async_copy(
-        pyr_ref.at[lev, pl.ds(oy, TILE_H), pl.ds(ox, TILE_W)], tile_ref, sem)
-    dma.start()
+
+    def dma(q, slot):
+        lev = levels_ref[q]
+        # Origins are host-snapped onto the (8, 128) memref tiling grid; the
+        # multiple_of hints let Mosaic prove the DMA slice is tile-aligned.
+        oy = pl.multiple_of(oy_ref[q], 8)
+        ox = pl.multiple_of(ox_ref[q], 128)
+        return pltpu.make_async_copy(
+            pyr_ref.at[lev, pl.ds(oy, TILE_H), pl.ds(ox, TILE_W)],
+            tiles_ref.at[slot], sems.at[slot])
+
+    @pl.when(p == 0)
+    def _prologue():
+        dma(0, 0).start()
+
+    @pl.when(p + 1 < n_prog)
+    def _prefetch():
+        dma(p + 1, (p + 1) % 2).start()
 
     # Tile-relative continuous level coordinates of every output pixel:
     # lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output grid; coefficients
@@ -86,8 +104,13 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
         wy = (jnp.round(ly) == lane_h).astype(jnp.float32)
         wx = (jnp.round(lx) == lane_w).astype(jnp.float32)
 
-    dma.wait()
-    g = jnp.dot(wy, tile_ref[:], preferred_element_type=jnp.float32)
+    dma(p, p % 2).wait()
+    # bf16 MXU for the dominant (oh*ow, TILE_H) @ (TILE_H, TILE_W) product
+    # (2x f32 rate). Nearest one-hot weights are exact in bf16; tile texels
+    # round to ~0.2% -- below the uint8 quantization the canvas came from.
+    # Accumulation stays f32.
+    g = jnp.dot(wy.astype(jnp.bfloat16), tiles_ref[p % 2].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
     out_ref[...] = jnp.sum(g * wx, axis=1, keepdims=True)
 
 
@@ -171,12 +194,12 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((oh * ow, 1), lambda p, *_: (p, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(_gather_kernel, oh=oh, ow=ow,
-                             bilinear=(method == "bilinear"))
+                             bilinear=(method == "bilinear"), n_prog=B)
     flat = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B * oh * ow, 1), jnp.float32),

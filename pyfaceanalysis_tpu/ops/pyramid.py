@@ -34,21 +34,31 @@ def build_pyramid(image: jax.Array, scales: Tuple[float, ...],
     corner (one level pixel = scales[k] source pixels; sampling at pixel
     centers, matching ops.patches nearest semantics). Out-of-image texels
     are 0.
+
+    Perf notes (this op was 40% of detect device time as a naive 2-D
+    gather over the full (lh, lw) canvas per level): each level now
+    samples only its true extent (ceil(dim / s) texels -- the sum over the
+    ladder is ~1.3x the image, not L x canvas), and the nearest resample is
+    SEPARABLE: one row take (contiguous DMA rows) + one column take,
+    instead of lh*lw random 2-D lookups. The result is placed into the
+    fixed canvas with a static pad so shapes stay compile-constant.
     """
     H, W = image.shape
     lh, lw = level_hw
-    flat = image.reshape(-1)
     levels = []
-    yy = jnp.arange(lh, dtype=jnp.float32)
-    xx = jnp.arange(lw, dtype=jnp.float32)
     for s in scales:
-        sy = jnp.round((yy + 0.5) * s - 0.5).astype(jnp.int32)
-        sx = jnp.round((xx + 0.5) * s - 0.5).astype(jnp.int32)
-        inb = ((sy >= 0) & (sy < H))[:, None] & ((sx >= 0) & (sx < W))[None]
-        idx = (jnp.clip(sy, 0, H - 1)[:, None] * W
-               + jnp.clip(sx, 0, W - 1)[None])
-        levels.append(jnp.where(inb, jnp.take(flat, idx.reshape(-1),
-                                              axis=0).reshape(lh, lw), 0.0))
+        hk = min(lh, max(1, int(-(-H // s))))      # ceil(H / s), capped
+        wk = min(lw, max(1, int(-(-W // s))))
+        sy = jnp.round((jnp.arange(hk, dtype=jnp.float32) + 0.5) * s
+                       - 0.5).astype(jnp.int32)
+        sx = jnp.round((jnp.arange(wk, dtype=jnp.float32) + 0.5) * s
+                       - 0.5).astype(jnp.int32)
+        oky = (sy >= 0) & (sy < H)
+        okx = (sx >= 0) & (sx < W)
+        rows = jnp.take(image, jnp.clip(sy, 0, H - 1), axis=0)   # (hk, W)
+        lvl = jnp.take(rows, jnp.clip(sx, 0, W - 1), axis=1)     # (hk, wk)
+        lvl = jnp.where(oky[:, None] & okx[None], lvl, 0.0)
+        levels.append(jnp.pad(lvl, ((0, lh - hk), (0, lw - wk))))
     return jnp.stack(levels)
 
 
