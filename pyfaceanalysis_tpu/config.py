@@ -93,6 +93,13 @@ class DetectorConfig:
     # Eye localization rejection threshold (face_analysis.py:1018 tolerance_xy_eye)
     tolerance_xy_eye: float = 9.0
 
+    # Cap on faces entering the eye sub-cascade in the fused device path
+    # (ranked by Disc confidence, so only the weakest survivors past the
+    # cap are dropped). Final-gate survivors are typically a few dozen;
+    # without the cap the eye networks ran at 2 * max_detections patches of
+    # ~90% padding.
+    eye_max_faces: int = 64
+
     # Save the 96x96 age-head input patches (the reference writes
     # ImageForAgeEstimation%03d.jpg unconditionally, face_analysis.py:1251;
     # here opt-in).

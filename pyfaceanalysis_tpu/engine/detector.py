@@ -161,7 +161,13 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     # Device-side compaction: alive rows first, best (lowest) Disc
     # confidence first within them, so a crowded scene overflowing k_out
     # drops the weakest survivors, not arbitrary grid positions.
-    k_out = min(k_out, out.mask.shape[0])
+    #
+    # The eye sub-cascade runs on at most ``eye_max_faces`` rows: final
+    # Disc survivors are typically a few dozen, so running 2 * k_out (=512)
+    # eye patches through the extraction + eye networks was ~90% padding
+    # (the ranked order makes the cap drop only the weakest survivors,
+    # same semantics as the k_out cap itself).
+    k_out = min(k_out, out.mask.shape[0], max(cfg.eye_max_faces, 8))
     order = jnp.argsort(jnp.where(out.mask, out.conf, 2.0))
     idx = order[:k_out]
     boxes = out.boxes[idx]

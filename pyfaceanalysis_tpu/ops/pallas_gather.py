@@ -49,9 +49,9 @@ TILE_W = 256   # tile lanes; origin 128-aligned
 TILE = TILE_H
 
 
-def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
-                   tiles_ref, sems, *, oh: int, ow: int, bilinear: bool,
-                   n_prog: int):
+def _gather_kernel(levels_ref, oy_ref, ox_ref, rolls_ref, coeffs_ref,
+                   pyr_ref, out_ref, tiles_ref, sems, *, oh: int, ow: int,
+                   bilinear: bool, n_prog: int):
     # All scalar-prefetch operands are 1-D: SMEM pads every ROW of a 2-D
     # array to its allocation granule, which blows the 1MB SMEM budget.
     #
@@ -93,10 +93,16 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
     lx = c[0] * jj + c[1] * ii + c[2]
     ly = c[3] * jj + c[4] * ii + c[5]
 
+    # The patch's x-window inside the 256-lane tile is rotated to lane 0 by
+    # a dynamic roll (rolls_ref, host-computed; lx is already tile-rolled
+    # relative), so only WIN=128 lanes participate in the weights and the
+    # sampling product -- half the VPU weight work and half the MXU product
+    # of the full-tile formulation.
+    WIN = TILE_H
     lane_h = jax.lax.broadcasted_iota(
         jnp.int32, (oh * ow, TILE_H), 1).astype(jnp.float32)
     lane_w = jax.lax.broadcasted_iota(
-        jnp.int32, (oh * ow, TILE_W), 1).astype(jnp.float32)
+        jnp.int32, (oh * ow, WIN), 1).astype(jnp.float32)
     if bilinear:
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - lane_h))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - lane_w))
@@ -105,13 +111,17 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, coeffs_ref, pyr_ref, out_ref,
         wx = (jnp.round(lx) == lane_w).astype(jnp.float32)
 
     dma(p, p % 2).wait()
-    # bf16 MXU for the dominant (oh*ow, TILE_H) @ (TILE_H, TILE_W) product
+    tile = pltpu.roll(tiles_ref[p % 2], -rolls_ref[p], axis=1)[:, :WIN]
+    # bf16 MXU for the dominant (oh*ow, TILE_H) @ (TILE_H, WIN) product
     # (2x f32 rate). Nearest one-hot weights are exact in bf16; tile texels
     # round to ~0.2% -- below the uint8 quantization the canvas came from.
     # Accumulation stays f32.
-    g = jnp.dot(wy.astype(jnp.bfloat16), tiles_ref[p % 2].astype(jnp.bfloat16),
+    g = jnp.dot(wy.astype(jnp.bfloat16), tile.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
-    out_ref[...] = jnp.sum(g * wx, axis=1, keepdims=True)
+    # Output as a (1, oh*ow) ROW: a (oh*ow, 1) column output tiles as
+    # (8, 128) vregs with one useful lane -- every downstream reader then
+    # pays 128x the bandwidth (measured 1.4 ms per consumer fusion).
+    out_ref[...] = jnp.sum(g * wx, axis=1).reshape(1, oh, ow)
 
 
 def _snap_down(v, m):
@@ -170,9 +180,22 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
     oxi = _snap_down(jnp.clip(lcx - 56, 0, lw - TILE_W), 128)
     oyi = _snap_down(jnp.clip(lcy - 56, 0, lh - TILE_H), 8)
 
+    # The patch's x-extent starts at up to snap-slack + clip lanes into the
+    # 256-lane tile; the kernel rolls it to lane 0 so the sampling window is
+    # 128 lanes. Out-of-level samples keep zero weights: their rolled lx
+    # falls outside [0, 128) exactly as the unrolled lx fell outside the
+    # level extent (levels are zero-padded, so any wrapped texel a valid
+    # sample could touch is a true texel).
+    # 4 texels of left margin inside the 128-lane window: the worst-case
+    # half-extent (55.6 texels at max scale drift + 0.5 center rounding)
+    # touches 56.1, and a window starting exactly at lcx-56 would zero
+    # boundary samples the 256-lane formulation kept.
+    rolls = jnp.maximum(lcx - 60 - oxi, 0)
+
     # us(i,j) = cx + co*(x0 - cx + fx*bw) - si*(y0 - cy + fy*bh) with
-    # fx = (j+.5)/ow (ops/patches.py math); level x = us/s_k - 0.5 - ox.
-    oxf = oxi.astype(jnp.float32)
+    # fx = (j+.5)/ow (ops/patches.py math); level x = us/s_k - 0.5 - ox -
+    # roll (the roll moves the window to lane 0).
+    oxf = (oxi + rolls).astype(jnp.float32)
     oyf = oyi.astype(jnp.float32)
     ax = co * bw / (ow * s_k)
     bx = -si * bh / (oh * s_k)
@@ -184,14 +207,14 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
 
     B = boxes.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B,),
         in_specs=[
             # The pyramid must STAY in HBM (a 1000px-canvas pyramid is ~17MB,
             # over VMEM) -- tiles are DMA'd per patch inside the kernel.
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((oh * ow, 1), lambda p, *_: (p, 0),
+        out_specs=pl.BlockSpec((1, oh, ow), lambda p, *_: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, TILE_H, TILE_W), jnp.float32),
@@ -202,10 +225,10 @@ def sample_patches_pyramid(pyramid: jax.Array, scales: jax.Array,
                              bilinear=(method == "bilinear"), n_prog=B)
     flat = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B * oh * ow, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, oh, ow), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(levels, oyi, oxi, coeffs, pyramid.astype(jnp.float32))
+    )(levels, oyi, oxi, rolls, coeffs, pyramid.astype(jnp.float32))
     return flat.reshape(B, oh, ow)
 
 

@@ -208,3 +208,24 @@ def test_eye_level_selection():
     # every selected level keeps the extent inside the 128-row tile
     ext = bw * 1.28 / scales[lev]
     assert np.all(np.asarray(ext)[:4] <= 112)
+
+
+def test_crop_kernel_matches_dynamic_slice():
+    """ops.pallas_crop.crop_patches_pallas == ops.pyramid.crop_patches for
+    in-level crops (arbitrary y/x residues against the (8, 128) snap)."""
+    from pyfaceanalysis_tpu.ops.pallas_crop import crop_patches_pallas
+    from pyfaceanalysis_tpu.ops.pyramid import crop_patches
+
+    key = jax.random.PRNGKey(11)
+    img = _rand_image(key, 256, 384)
+    pyr = build_pyramid(img, (1.0, 2.0), (256, 384))
+    rng = np.random.RandomState(12)
+    B = 32
+    lev = rng.randint(0, 2, B)
+    yy = rng.randint(0, 256 - 64, B)
+    xx = rng.randint(0, 384 - 64, B)
+    crops = jnp.asarray(np.stack([lev, yy, xx], 1), jnp.int32)
+    want = crop_patches(pyr, crops, (64, 64))
+    got = crop_patches_pallas(pyr, crops, (64, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
