@@ -274,6 +274,31 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
                                       maxval=0.30))
     feats = feats * famp * (1.0 - 0.10 * jnp.clip(a_norm, -1.0, 1.0))
 
+    # --- localized wrinkle structures (older faces) -------------------------
+    # Distinct spatial STRUCTURE -- forehead lines, crow's feet, nasolabial
+    # folds -- not just texture amplitude (which is confounded with the
+    # random skin texture): this is what makes age learnable from 96x96
+    # patches. Amplitudes jittered so no single cue pins the age exactly.
+    age_w = jnp.clip(a_norm, 0.0, 1.0) * jnp.exp(
+        0.35 * jax.random.normal(ks[17], ()))
+    # Line period ~0.16 face units =~ 11 px in the decimated 96x96 age
+    # patch (a 110-rad/unit frequency aliased out entirely).
+    lines = 0.5 + 0.5 * jnp.sin(v * 40.0 + 2.0 * skin_tex)
+    forehead = (jnp.exp(-((v + 0.26) / 0.06) ** 2)
+                * jnp.exp(-(u / 0.20) ** 2))
+    crow = jnp.zeros_like(u)
+    for sgn in (-1.0, 1.0):
+        crow = crow + blob(sgn * EYE_X * 1.62, EYE_Y + 0.012, 0.035, 0.05)
+    naso = jnp.zeros_like(u)
+    for sgn in (-1.0, 1.0):
+        d = u - sgn * (0.065 + 0.55 * (v - 0.02))
+        band = (jax.nn.sigmoid((v - 0.00) / 0.02)
+                * jax.nn.sigmoid((0.16 - v) / 0.03))
+        naso = naso + jnp.exp(-(d / 0.013) ** 2) * band
+    feats = feats - age_w * (0.11 * forehead * lines
+                             + 0.10 * crow * lines
+                             + 0.09 * naso)
+
     # --- facial hair (some males): darken jaw/lip region --------------------
     kbeard = jax.random.split(ks[10], 3)
     has_beard = (gender < 0) & (jax.random.uniform(kbeard[0], ()) < 0.40)
@@ -294,6 +319,11 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     has_hair = jax.random.uniform(khair[0], ()) > 0.15
     hairline = jax.random.uniform(khair[1], (), minval=-0.42, maxval=-0.22)
     hair_tone = jax.random.uniform(khair[2], (), minval=0.04, maxval=0.45)
+    # Gray hair with age (strong real-world cue): onset ~50, extent
+    # jittered so hair tone alone cannot pin the age.
+    gray = (jax.nn.sigmoid((age - 52.0) / 4.0)
+            * jax.random.uniform(ks[18], (), minval=0.4, maxval=1.0))
+    hair_tone = hair_tone + gray * (0.78 - hair_tone)
     hair_tex = _value_noise(khair[3], (H, W), grids=(12, 48),
                             weights=(0.5, 0.5))
     side_cov = jax.random.uniform(khair[4], (), minval=0.0, maxval=1.0)
@@ -303,7 +333,18 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     sides = (jax.nn.sigmoid((1.0 - e_hair) / 0.05)
              * jax.nn.sigmoid((e - 0.72) / 0.10)
              * jax.nn.sigmoid((0.1 - v) / 0.25) * side_cov)
-    hair_mask = jnp.clip(cap + sides, 0.0, 1.0) \
+    # Long hair framing the face down to the shoulders -- strongly
+    # gender-correlated (a cue the gender head can actually see at 96x96,
+    # unlike fine skin detail), with enough male long-hair / female
+    # short-hair examples that it stays a soft cue.
+    p_long = jnp.where(gender > 0, 0.55, 0.08)
+    has_long = jax.random.uniform(ks[19], ()) < p_long
+    long_mask = (jax.nn.sigmoid((e - 0.85) / 0.10)
+                 * jax.nn.sigmoid((0.50 - v) / 0.10)
+                 * jax.nn.sigmoid((v + 0.30) / 0.12)
+                 * jax.nn.sigmoid((1.9 - e_hair) / 0.15)
+                 * jnp.where(has_long, 1.0, 0.0))
+    hair_mask = jnp.clip(cap + sides + long_mask, 0.0, 1.0) \
         * jnp.where(has_hair, 1.0, 0.0)
 
     # --- shoulders / clothing / collar below the head ----------------------

@@ -366,7 +366,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         lab3 = np.stack([labels["age"], labels["race"], labels["gender"]],
                         axis=1)
         net = train_network(net, x, graph="serial", labels=lab3,
-                            num_groups=20, verbose=verbose)
+                            num_groups=20, verbose=verbose,
+                            label_weights=(2.0, 1.0, 1.0))
         nets["net_age"] = net
         feats = _execute(net, x)
         clfs["clf_Age"] = fit_regressor_bins(feats, labels["age"], 4,
