@@ -22,3 +22,12 @@ __version__ = "0.1.0"
 
 from pyfaceanalysis_tpu import geometry  # noqa: F401
 from pyfaceanalysis_tpu.config import DetectorConfig  # noqa: F401
+from pyfaceanalysis_tpu.utils.compile_cache import (  # noqa: F401
+    enable_persistent_compilation_cache,
+)
+
+# Cold-start mitigation for the reference's one-image-per-process CLI
+# pattern: cache compiled XLA programs on disk so only the first process
+# ever pays the ~100 s cascade compile. Best-effort; opt out with
+# PFA_NO_COMPILE_CACHE=1.
+enable_persistent_compilation_cache()

@@ -39,6 +39,12 @@ class NetGeometry:
 DESIRED_SAMPLING = 0.825
 # Normalized eye scale relative to its eye box (face_analysis.py:61).
 EYE_SAMPLING = 2.3719
+# The reference's discrimination cutoff ladder, indexed by network serial
+# digit (FaceDetectUpdated.py:98). Tuned to the REFERENCE classifiers'
+# output scale; freshly trained models ship a calibrated ladder in their
+# manifest instead (tools/calibrate_ladder.py).
+REFERENCE_CUT_OFFS_FACE = (
+    0.99, 0.95, 0.85, 0.8, 0.7, 0.6, 0.5, 0.45, 0.10, 0.05)
 # Canonical face triangle: inter-eye distance x eyes-to-mouth height
 # (face_normalization_tools.py:29-30).
 CANONICAL_DIST_EYES = 37.0
@@ -65,9 +71,12 @@ class DetectorConfig:
     tolerance_angle_deviation: float = 1.1
     tolerance_posxy_deviation: float = 1.1
 
-    # Discrimination cutoff ladder, indexed by network "serial" digit (:98)
-    cut_offs_face: Tuple[float, ...] = (
-        0.99, 0.95, 0.85, 0.8, 0.7, 0.6, 0.5, 0.45, 0.10, 0.05)
+    # Discrimination cutoff ladder, indexed by network "serial" digit (:98).
+    # None = model decides: the trainer/calibrator may record a ladder
+    # calibrated to ITS discriminators' output scale in the artifact
+    # manifest (engine.detector resolves it); otherwise the reference's
+    # constants (REFERENCE_CUT_OFFS_FACE) apply.
+    cut_offs_face: Optional[Tuple[float, ...]] = None
     last_cut_off_face: float = -1.0          # :99 (>=0 overrides slot 9)
 
     # Interpolation per serial digit (:125). "nearest" | "bilinear"
@@ -146,7 +155,8 @@ class DetectorConfig:
 
     def resolved_cut_offs(self) -> Tuple[float, ...]:
         """Applies ``last_cut_off_face`` to slot 9 (FaceDetectUpdated.py:434-438)."""
-        cs = list(self.cut_offs_face)
+        cs = list(self.cut_offs_face if self.cut_offs_face is not None
+                  else REFERENCE_CUT_OFFS_FACE)
         if self.last_cut_off_face >= 0:
             cs[9] = self.last_cut_off_face
         return tuple(cs)

@@ -214,6 +214,12 @@ class FaceDetector:
                 and "last_cut_off_face" in calib):
             config = dataclasses.replace(
                 config, last_cut_off_face=float(calib["last_cut_off_face"]))
+        if config.cut_offs_face is None and "cut_offs_face" in calib:
+            # Full disc-cutoff ladder calibrated to this model's classifier
+            # output scale (tools/calibrate_ladder.py).
+            config = dataclasses.replace(
+                config, cut_offs_face=tuple(
+                    float(v) for v in calib["cut_offs_face"]))
         if config.detection_contrast_normalize is None:
             # The networks were trained either on raw or on per-patch
             # contrast-normalized pixels; inference must match the model.

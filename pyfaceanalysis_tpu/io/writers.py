@@ -82,14 +82,25 @@ def load_true_coordinates(base_dir: str, filename: str
             my = (ely + ery) / 2.0 + (erx - elx) * 42.0 / 37.0
         else:
             continue
-        eyes_mx, eyes_my = (elx + erx) / 2.0, (ely + ery) / 2.0
-        fcx, fcy = (eyes_mx + mx) / 2.0, (eyes_my + my) / 2.0
-        dist_eyes = math.hypot(erx - elx, ery - ely)
-        height_triangle = math.hypot(eyes_mx - mx, eyes_my - my)
-        current_area = dist_eyes * height_triangle / 2.0
-        desired_area = (37.0 / 0.825) * (42.0 / 0.825) / 2.0
-        side = 128.0 * math.sqrt(current_area / max(desired_area, 1e-12))
-        box = [fcx - side / 2, fcy - side / 2, fcx + side / 2, fcy + side / 2]
         filenames.append(os.path.join(base_dir, fn) if base_dir else fn)
-        coords.append([elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy] + box)
+        coords.append(truth_row_from_landmarks(elx, ely, erx, ery,
+                                               nx, ny, mx, my))
     return filenames, np.asarray(coords)
+
+
+def truth_row_from_landmarks(elx: float, ely: float, erx: float, ery: float,
+                             nx: float, ny: float, mx: float, my: float
+                             ) -> List[float]:
+    """14-element ground-truth row [eyes, nose, mouth, face center, face
+    box] with the reference's derived face box: center at mid(mid-eyes,
+    mouth), side 128 * sqrt(triangle_area / canonical_area)
+    (face_analysis.py:276-300)."""
+    eyes_mx, eyes_my = (elx + erx) / 2.0, (ely + ery) / 2.0
+    fcx, fcy = (eyes_mx + mx) / 2.0, (eyes_my + my) / 2.0
+    dist_eyes = math.hypot(erx - elx, ery - ely)
+    height_triangle = math.hypot(eyes_mx - mx, eyes_my - my)
+    current_area = dist_eyes * height_triangle / 2.0
+    desired_area = (37.0 / 0.825) * (42.0 / 0.825) / 2.0
+    side = 128.0 * math.sqrt(current_area / max(desired_area, 1e-12))
+    box = [fcx - side / 2, fcy - side / 2, fcx + side / 2, fcy + side / 2]
+    return [elx, ely, erx, ery, nx, ny, mx, my, fcx, fcy] + box

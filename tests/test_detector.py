@@ -77,6 +77,36 @@ class TestModelLoading:
         assert len(loaded_model.det_net_names) == 4
 
 
+class TestCalibrationResolution:
+    def test_manifest_ladder_resolved(self, random_artifact_dir):
+        """A calibrated cut_offs_face ladder in the manifest is adopted
+        unless the user set one explicitly (tools/calibrate_ladder.py)."""
+        import json
+
+        from pyfaceanalysis_tpu.config import REFERENCE_CUT_OFFS_FACE
+        from pyfaceanalysis_tpu.engine.detector import (DetectionModel,
+                                                        FaceDetector)
+        path = os.path.join(random_artifact_dir, "manifest.json")
+        with open(path) as f:
+            manifest = json.load(f)
+        ladder = [0.99, 0.97, 0.85, 0.9, 0.7, 0.75, 0.5, 0.6, 0.1, 0.3]
+        manifest.setdefault("calibration", {})["cut_offs_face"] = ladder
+        with open(path, "w") as f:
+            json.dump(manifest, f)
+        try:
+            model = DetectionModel.load(random_artifact_dir)
+            det = FaceDetector(model, DetectorConfig())
+            assert det.config.resolved_cut_offs() == tuple(ladder)
+            # explicit user ladder wins
+            det2 = FaceDetector(model, DetectorConfig(
+                cut_offs_face=REFERENCE_CUT_OFFS_FACE))
+            assert det2.config.resolved_cut_offs() == REFERENCE_CUT_OFFS_FACE
+        finally:
+            manifest["calibration"].pop("cut_offs_face")
+            with open(path, "w") as f:
+                json.dump(manifest, f)
+
+
 class TestDetectEndToEnd:
     def test_full_pipeline_runs(self, loaded_model):
         from pyfaceanalysis_tpu.engine.detector import FaceDetector

@@ -40,19 +40,25 @@ def main(argv=None):
     from pyfaceanalysis_tpu.io.images import load_image
     from pyfaceanalysis_tpu.io.writers import load_true_coordinates
 
+    from pyfaceanalysis_tpu.config import REFERENCE_CUT_OFFS_FACE
+
     model = DetectionModel.load(args.model)
+    calib = getattr(model, "calibration", {}) or {}
+    base = list(calib.get("cut_offs_face", REFERENCE_CUT_OFFS_FACE))
+    if "last_cut_off_face" in calib:
+        base[9] = float(calib["last_cut_off_face"])
     kw = {}
     if args.cutoffs:
-        ladder = list(DetectorConfig.cut_offs_face)
+        ladder = list(base)
         for pair in args.cutoffs.split(","):
             s, v = pair.split(":")
             ladder[int(s)] = float(v)
         kw["cut_offs_face"] = tuple(ladder)
-        if ladder[9] != DetectorConfig.cut_offs_face[9]:
-            kw["last_cut_off_face"] = ladder[9]
+        kw["last_cut_off_face"] = ladder[9]
     cfg = DetectorConfig(smallest_face=args.smallest_face,
                          pang_gain=args.pang_gain, **kw)
     det = FaceDetector(model, cfg)
+    cfg = det.config      # manifest-resolved (ladder, contrast, pang gain)
     image, factor = load_image(args.image, cfg.prescale_size)
     print(f"image {image.shape}, prescale factor {factor:.4f}")
 
