@@ -49,7 +49,9 @@ def _get_model():
 
     nets = {}
     for name, side in [("net_disc", 64), ("net_disc_final", 64),
-                       ("net_pose0", 64), ("net_pose1", 64), ("net_eye", 64)]:
+                       ("net_pose0", 64), ("net_pose0as", 64),
+                       ("net_pose1", 64), ("net_pose1as", 64),
+                       ("net_eye", 64)]:
         nets[name] = random_network_params(builder.build_higsfa(side),
                                            seed=hash(name) % 2 ** 31)
     nets["net_age"] = random_network_params(builder.build_pca_net(96), seed=7)

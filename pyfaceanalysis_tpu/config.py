@@ -99,8 +99,14 @@ class DetectorConfig:
     track_single_face: bool = False
     skip_existing_output: bool = False
 
-    # Eye localization rejection threshold (face_analysis.py:1018 tolerance_xy_eye)
-    tolerance_xy_eye: float = 9.0
+    # Eye localization rejection threshold (face_analysis.py:1018
+    # tolerance_xy_eye). -1 = model decides: the manifest's calibrated
+    # value (tools/calibrate_ladder.py eye-gate pass) or the reference
+    # constant 9.0.
+    tolerance_xy_eye: float = -1.0
+
+    def resolved_tolerance_xy_eye(self) -> float:
+        return self.tolerance_xy_eye if self.tolerance_xy_eye >= 0 else 9.0
 
     # Cap on faces entering the eye sub-cascade in the fused device path
     # (ranked by Disc confidence, so only the weakest survivors past the
@@ -132,6 +138,22 @@ class DetectorConfig:
 
     def resolved_pang_gain(self) -> float:
         return self.pang_gain if self.pang_gain >= 0 else 1.0
+
+    # Gains on the PosX/PosY shift and the Scale step (log-space), same
+    # convention as pang_gain: 1.0 = the reference's full step, < 1 damps.
+    # On real photographs the regressors overshoot (measured ~1.6x on the
+    # canonical photo's trajectories); a closed-loop gain < 1 converts
+    # overshoot into geometric convergence across the 3 refinement
+    # iterations and bounds the damage of a saturated-wrong step.
+    # -1 = model decides (manifest-calibrated, like pang_gain).
+    pos_gain: float = -1.0
+    scale_gain: float = -1.0
+
+    def resolved_pos_gain(self) -> float:
+        return self.pos_gain if self.pos_gain >= 0 else 1.0
+
+    def resolved_scale_gain(self) -> float:
+        return self.scale_gain if self.scale_gain >= 0 else 1.0
 
     # TPU execution: patch batches are padded to the next bucket size so XLA
     # compiles a handful of shapes instead of one per grid (SURVEY.md para 5b).

@@ -226,14 +226,16 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 compacted = True
         elif st.kind == "PosX":
             width = boxes[:, 2] - boxes[:, 0]
-            shift = reg * width / geom.regression_width
+            shift = (cfg.resolved_pos_gain() * reg * width
+                     / geom.regression_width)
             boxes = boxes.at[:, 0].add(-shift).at[:, 2].add(-shift)
             drift = (boxes[:, 0] + boxes[:, 2]) / 2.0 - orig_cx
             mask = mask & (jnp.abs(drift) <=
                            max_dx * cfg.tolerance_posxy_deviation)
         elif st.kind == "PosY":
             height = boxes[:, 3] - boxes[:, 1]
-            shift = reg * height / geom.regression_height
+            shift = (cfg.resolved_pos_gain() * reg * height
+                     / geom.regression_height)
             boxes = boxes.at[:, 1].add(-shift).at[:, 3].add(-shift)
             drift = (boxes[:, 1] + boxes[:, 3]) / 2.0 - orig_cy
             mask = mask & (jnp.abs(drift) <=
@@ -253,9 +255,14 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             h = boxes[:, 3] - boxes[:, 1]
             cx = (boxes[:, 2] + boxes[:, 0]) / 2.0
             cy = (boxes[:, 3] + boxes[:, 1]) / 2.0
-            safe = jnp.where(jnp.abs(reg) > 1e-6, reg, 1.0)
-            nw = w / safe * DESIRED_SAMPLING
-            nh = h / safe * DESIRED_SAMPLING
+            # reg is a convex combination of positive sampling labels; the
+            # floor only guards degenerate classifiers.
+            safe = jnp.maximum(reg, 1e-3)
+            # scale_gain damps the step in log space: factor^gain keeps the
+            # no-op (reg == DESIRED_SAMPLING -> factor 1) fixed.
+            factor = (DESIRED_SAMPLING / safe) ** cfg.resolved_scale_gain()
+            nw = w * factor
+            nh = h * factor
             boxes = jnp.stack([cx - nw / 2, cy - nh / 2,
                                cx + nw / 2, cy + nh / 2], axis=1)
             side = jnp.sqrt(nw ** 2 + nh ** 2)

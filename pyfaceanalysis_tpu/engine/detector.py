@@ -96,11 +96,15 @@ class DetectionModel:
         return self.classifier(raw_type).input_dim
 
     def network_for(self, raw_type: str) -> HierarchicalNetwork:
-        st = self.spec.stages[self.stage(raw_type)]
-        name = st.network_name
-        if name.startswith("None"):
-            raise KeyError(f"stage {raw_type} reuses features")
-        return self.nets[name]
+        """Network whose features the stage consumes; ``None*`` stages walk
+        back to the most recent stage with a real network (the reference's
+        feature-reuse rule, FaceDetectUpdated.py:676-689)."""
+        i = self.stage(raw_type)
+        while i >= 0 and self.spec.stages[i].reuses_features:
+            i -= 1
+        if i < 0:
+            raise KeyError(f"stage {raw_type} reuses features of nothing")
+        return self.nets[self.spec.stages[i].network_name]
 
     @staticmethod
     def load(artifact_dir: str, pipeline_file: Optional[str] = None
@@ -229,6 +233,16 @@ class FaceDetector:
         if config.pang_gain < 0 and "pang_gain" in calib:
             config = dataclasses.replace(
                 config, pang_gain=float(calib["pang_gain"]))
+        if config.pos_gain < 0 and "pos_gain" in calib:
+            config = dataclasses.replace(
+                config, pos_gain=float(calib["pos_gain"]))
+        if config.scale_gain < 0 and "scale_gain" in calib:
+            config = dataclasses.replace(
+                config, scale_gain=float(calib["scale_gain"]))
+        if config.tolerance_xy_eye < 0:
+            config = dataclasses.replace(
+                config, tolerance_xy_eye=float(
+                    calib.get("tolerance_xy_eye", 9.0)))
         self.model = model
         self.config = config
         self.face_has_been_found = False

@@ -167,6 +167,15 @@ class TrainConfig:
     # step because saturated-wrong angle estimates rotate later
     # extractions into Disc kills (docs/ROUND2_NOTES.md).
     pang_gain: float = 0.25
+    # Calibrated PosX/PosY and Scale step gains (DetectorConfig.pos_gain /
+    # scale_gain). On real photographs the pose regressors overshoot
+    # (~1.6x on annotated trajectories, occasionally sign-flipped); a
+    # closed-loop gain < 1 converts overshoot into geometric convergence
+    # across the 3 refinement iterations. Swept on the canonical photo
+    # (tools/sweep_step_gains.py): pos 0.65 lifted 1 TP -> 4 TP at the
+    # calibrated operating point; scale damping never helped.
+    pos_gain: float = 0.65
+    scale_gain: float = 1.0
     # Node type for the detection nets: "sfa" or "igsfa" (slow features +
     # whitened residual PCA per layer, cuicuilco iGSFANode equivalent --
     # models.moments.solve_igsfa_device). A/B knob per family.
@@ -178,26 +187,30 @@ class TrainConfig:
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
 # = reuse previous features (matches Pipeline_experimental.txt's layout).
 _STAGE_LAYOUT = [
-    # A dedicated wide-field angle net for the PAng stages was A/B-tested in
-    # round 2 (base_field=8/d=18, same pose walks): real-photo angle corr
-    # was IDENTICAL to the shared net (0.473 vs 0.485) and the saturated
-    # extreme outputs rotated windows into Disc kills (0 TNS survivors vs
-    # 2) -- reverted; the angle fix is the calibrated PAng gain instead
-    # (DetectorConfig.pang_gain, docs/ROUND2_NOTES.md).
+    # SPECIALIST pose nets (round-2 restructure): one xy net + one
+    # angle/scale net per iteration. The shared 4-label net collapses to
+    # x-position + nuisance (held-out 28k-patch A/B: shared dy/ang/scale
+    # corr 0.61/0.30/0.10 vs specialist 0.80/0.70/0.32 -- the angle/scale
+    # net also trains at NARROW positional jitter, matching its actual
+    # input distribution after the PosX/PosY corrections). The PAng stages
+    # re-extract at the corrected positions (plan extract rule, reference
+    # FaceDetectUpdated.py:674-691 semantics). An earlier wide-field
+    # dedicated angle net trained at FULL positional jitter failed the
+    # same A/B (saturated outputs) -- narrow jitter is the difference.
     ("Disc1", "net_disc", "clf_Disc1", 9),
     ("PosX0", "net_pose0", "clf_PosX0", 10),
     ("PosY0", "None0", "clf_PosY0", 20),
-    ("PAng0", "None0", "clf_PAng0", 20),
+    ("PAng0", "net_pose0as", "clf_PAng0", 20),
     ("Scale0", "None0", "clf_Scale0", 20),
     ("Disc3", "net_disc", "clf_Disc1", 9),
     ("PosX1", "net_pose1", "clf_PosX1", 20),
     ("PosY1", "None0", "clf_PosY1", 20),
-    ("PAng1", "None0", "clf_PAng1", 20),
+    ("PAng1", "net_pose1as", "clf_PAng1", 20),
     ("Scale1", "None0", "clf_Scale1", 20),
     ("Disc5", "net_disc", "clf_Disc1", 9),
     ("PosX2", "net_pose1", "clf_PosX1", 20),
     ("PosY2", "None0", "clf_PosY1", 20),
-    ("PAng2", "None0", "clf_PAng1", 20),
+    ("PAng2", "net_pose1as", "clf_PAng1", 20),
     ("Scale2", "None0", "clf_Scale1", 20),
     ("Disc7", "net_disc", "clf_Disc1", 9),
     ("Disc9", "net_disc_final", "clf_Disc9", 9),
@@ -225,7 +238,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             os.path.join(out_dir, name + ".npz"))
 
     key = jax.random.PRNGKey(cfg.seed)
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 12)
     real_source = None
     if cfg.real_frac > 0 or cfg.real_bg_frac > 0:
         from pyfaceanalysis_tpu.training import real as real_mod
@@ -265,41 +278,44 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             artifacts.save_classifier(os.path.join(out_dir, c + ".npz"),
                                       clfs[c], clfs[c].means.shape[1])
 
-    # --- pose nets (iter0: wide ranges; iter1: narrow, shared by iter2) ----
-    for name, ranges, kidx in [("net_pose0", (40.0, 20.0, 22.5), 0),
-                               ("net_pose1", (14.0, 13.0, 21.0), 1)]:
-        it = "0" if name.endswith("0") else "1"
+    # --- pose nets: per-iteration SPECIALISTS (see _STAGE_LAYOUT note) ----
+    # xy nets sample the full grid offset envelope; angle/scale nets sample
+    # NARROW positional jitter (their stages run after the PosX/PosY
+    # corrections, so that is their actual input distribution).
+    pose_plan = [
+        ("net_pose0", (40.0, 20.0, 22.5), (1.0, 1.5), ("dx", "dy"), 0),
+        ("net_pose0as", (12.0, 10.0, 22.5), (1.5, 1.0), ("ang", "scale"), 1),
+        ("net_pose1", (14.0, 13.0, 21.0), (1.0, 1.5), ("dx", "dy"), 8),
+        ("net_pose1as", (6.0, 6.0, 21.0), (1.5, 1.0), ("ang", "scale"), 9),
+    ]
+    clf_of = {"dx": "PosX", "dy": "PosY", "ang": "PAng", "scale": "Scale"}
+    for name, ranges, weights, cols, kidx in pose_plan:
+        it = "0" if "0" in name else "1"
+        cnames = [f"clf_{clf_of[c]}{it}" for c in cols]
         if _reusable(name):
-            _load_reused(name, [f"clf_{k}{it}" for k in
-                                ("PosX", "PosY", "PAng", "Scale")])
+            _load_reused(name, cnames)
             continue
-        log(f"[train] {name}: rendering pose walks...")
+        log(f"[train] {name}: rendering pose walks "
+            f"(dx±{ranges[0]:g} dy±{ranges[1]:g} ang±{ranges[2]:g})...")
         x, labels = datasets.pose_dataset(
             keys[kidx], cfg.num_faces, cfg.steps_per_face, face_geom,
             *ranges, real_source=real_source, real_frac=cfg.real_frac,
             contrast_normalize=cfg.contrast_normalize)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.pose_node)
-        log(f"[train] {name}: fitting {len(net.specs)} layers on {len(x)} patches")
-        # Combined 4-label serial graph: features must encode ALL pose
-        # parameters (dx, dy, angle, scale), not per-face identity. Angle
-        # and scale carry subtler appearance cues, so their graphs get
-        # extra weight.
-        lab4 = np.stack([labels["dx"], labels["dy"], labels["ang"],
-                         labels["scale"]], axis=1)
-        net = train_network(net, x, graph="serial", labels=lab4,
+        log(f"[train] {name}: fitting {len(net.specs)} layers "
+            f"on {len(x)} patches")
+        labk = np.stack([labels[c] for c in cols], axis=1)
+        net = train_network(net, x, graph="serial", labels=labk,
                             num_groups=cfg.pose_classes, verbose=verbose,
-                            label_weights=(1.0, 1.0, 3.0, 2.0))
+                            label_weights=weights)
         nets[name] = net
         feats = _execute(net, x)
-        for lab_name, dim in [("dx", 10 if it == "0" else 20),
-                              ("dy", 20), ("ang", 20), ("scale", 20)]:
-            cname = {"dx": "PosX", "dy": "PosY", "ang": "PAng",
-                     "scale": "Scale"}[lab_name] + it
-            clfs[f"clf_{cname}"] = fit_regressor_bins(
-                feats, labels[lab_name], dim, cfg.pose_classes)
-        _persist(name, [f"clf_{k}{it}" for k in
-                        ("PosX", "PosY", "PAng", "Scale")])
+        for c, cname in zip(cols, cnames):
+            dim = 10 if cname == "clf_PosX0" else 20
+            clfs[cname] = fit_regressor_bins(
+                feats, labels[c], dim, cfg.pose_classes)
+        _persist(name, cnames)
         log(f"[train] {name}: done")
 
     # --- discrimination nets ------------------------------------------------
@@ -414,5 +430,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         calibration={"last_cut_off_face": last_cut,
                      "detection_contrast_normalize":
                          bool(cfg.contrast_normalize),
-                     "pang_gain": float(cfg.pang_gain)})
+                     "pang_gain": float(cfg.pang_gain),
+                     "pos_gain": float(cfg.pos_gain),
+                     "scale_gain": float(cfg.scale_gain)})
     log(f"[train] wrote pipeline artifacts to {out_dir}")

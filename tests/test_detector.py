@@ -25,7 +25,9 @@ def random_artifact_dir(tmp_path_factory):
         "net_disc": builder.build_higsfa(side, d=6, top_dim=20),
         "net_disc_final": builder.build_higsfa(side, d=6, top_dim=20),
         "net_pose0": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_pose0as": builder.build_higsfa(side, d=6, top_dim=20),
         "net_pose1": builder.build_higsfa(side, d=6, top_dim=20),
+        "net_pose1as": builder.build_higsfa(side, d=6, top_dim=20),
         "net_eye": builder.build_higsfa(side, d=6, top_dim=20),
         "net_age": builder.build_pca_net(96, d=6, top_dim=20),
     }
@@ -73,8 +75,9 @@ class TestModelLoading:
         assert loaded_model.clf_input_dim("EyeLX") == 12
 
     def test_feature_sharing_layout(self, loaded_model):
-        # 4 distinct detection networks (disc, pose0, pose1, disc_final).
-        assert len(loaded_model.det_net_names) == 4
+        # 6 distinct detection networks (disc, disc_final, and the four
+        # specialist pose nets: xy + angle/scale per iteration).
+        assert len(loaded_model.det_net_names) == 6
 
 
 class TestCalibrationResolution:

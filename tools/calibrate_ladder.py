@@ -120,7 +120,48 @@ def collect_image(det, image, truth_rows, cfg, model):
             bg_confs[st.serial] = (conf_si[bg], np.where(bg)[0])
         prev_mask = mask_si
     n_conv = sum(1 for c in conv_sets if len(c))
-    return face_confs, bg_confs, covered, n_conv
+
+    # Eye |reg| of each converged TRUE face (best window): calibration
+    # source for the "too far" gate (reference constant 9.0,
+    # face_analysis.py:1073, tuned to the REFERENCE's eye net).
+    eye_regs = []
+    f_ang = np.asarray(trace[-1][1])[:n_real]
+    best = []
+    for row, cidx in zip(truth_rows, conv_sets):
+        if not len(cidx):
+            continue
+        err = np.hypot(row[8] - f_cx[cidx], row[9] - f_cy[cidx])
+        best.append(cidx[int(np.argmin(err))])
+    if best:
+        from pyfaceanalysis_tpu import geometry
+        from pyfaceanalysis_tpu.config import EYE_SAMPLING
+        from pyfaceanalysis_tpu.engine import eyes as eyes_mod
+
+        boxes = f_boxes[best]
+        angles = f_ang[best]
+        n = len(boxes)
+        _, l_b, r_b = geometry.compute_approximate_eye_boxes_coordinates(
+            jnp.asarray(boxes), jnp.asarray(angles),
+            face_sampling=DESIRED_SAMPLING, eye_sampling=EYE_SAMPLING)
+        eye_boxes = np.concatenate([np.asarray(l_b), np.asarray(r_b)])
+        both_angles = np.concatenate([angles, angles])
+        bucket = max(8, 1 << (2 * n - 1).bit_length())
+        pad = bucket - 2 * n
+        eye_boxes = np.pad(eye_boxes.astype(np.float32), ((0, pad), (0, 0)),
+                           constant_values=1.0)
+        both_angles = np.pad(both_angles.astype(np.float32), (0, pad))
+        eye_net = model.nets["net_eye"]
+        eg = model.spec.eye_geom
+        _, max_reg = eyes_mod.localize_eyes(
+            eye_net.specs, model.clf_input_dim("EyeLX"),
+            model.clf_input_dim("EyeLY"),
+            (eg.subimage_height, eg.subimage_width),
+            det._to_canvas(image), tuple(eye_net.params),
+            model.classifier("EyeLX"), model.classifier("EyeLY"),
+            jnp.asarray(eye_boxes), jnp.asarray(both_angles))
+        max_reg = np.asarray(max_reg)
+        eye_regs = list(np.maximum(max_reg[:n], max_reg[n:2 * n]))
+    return face_confs, bg_confs, covered, n_conv, eye_regs
 
 
 def main(argv=None):
@@ -157,6 +198,8 @@ def main(argv=None):
     disc_serials = sorted({p.serial for p in model.plan if p.kind == "Disc"})
     per_stage = {s: [] for s in disc_serials}   # per-face best conf
     bg_images = []                               # per image: {serial: (conf, idx)}
+    eye_regs_all = []                            # synthetic converged faces
+    eye_regs_real = []                           # real-anchor converged faces
     total_faces = total_covered = total_conv = 0
 
     # --- synthetic held-out scenes ---------------------------------------
@@ -176,11 +219,13 @@ def main(argv=None):
         row = np.asarray(truth_row_from_landmarks(
             el[0], el[1], er[0], er[1],
             (el[0] + er[0]) / 2, (el[1] + er[1]) / 2, mo[0], mo[1]))
-        fc, bg, cov, nc = collect_image(det, np.asarray(img), row, cfg, model)
+        fc, bg, cov, nc, eregs = collect_image(det, np.asarray(img), row,
+                                               cfg, model)
         for d in fc:
             for s, v in d.items():
                 per_stage[s].append(v)
         bg_images.append(bg)
+        eye_regs_all.extend(eregs)
         total_faces += 1
         total_covered += cov
         total_conv += nc
@@ -194,11 +239,13 @@ def main(argv=None):
         for f, rows in by_file.items():
             image, factor = load_image(f, cfg.prescale_size)
             rows = np.stack(rows) * factor
-            fc, bg, cov, nc = collect_image(det, image, rows, cfg, model)
+            fc, bg, cov, nc, eregs = collect_image(det, image, rows, cfg,
+                                                   model)
             for d in fc:
                 for s, v in d.items():
                     per_stage[s].append(v)
             bg_images.append(bg)
+            eye_regs_real.extend(eregs)
             total_faces += len(rows)
             total_covered += cov
             total_conv += nc
@@ -249,6 +296,26 @@ def main(argv=None):
           f"{passed_bg}/{total_bg} "
           f"({passed_bg / max(n_img, 1):.1f}/image pre-NMS)")
 
+    # --- eye "too far" gate from converged true faces ----------------------
+    # The reference constant 9.0 (face_analysis.py:1073) was tuned to the
+    # REFERENCE's eye net scale; ours transfers imperfectly to photographs,
+    # so use the real-anchor quantile when available (weighting real faces
+    # over the renderer), clipped to [9, 14]: only ever LOOSENS, and never
+    # past the point where the regression range (+-10.5) stops being
+    # informative.
+    eye_tol = 9.0
+    pool = eye_regs_real if len(eye_regs_real) >= 4 else (
+        eye_regs_real + eye_regs_all)
+    if pool:
+        vals = np.asarray(pool)
+        tag = "real-anchor" if len(eye_regs_real) >= 4 else "mixed"
+        eye_tol = float(np.clip(np.quantile(vals, args.q) * 1.05, 9.0, 14.0))
+        eye_tol = round(eye_tol, 2)
+        print(f"\neye |reg| of converged faces ({tag}, n={len(vals)}): "
+              f"q50={np.quantile(vals, .5):.2f} q90={np.quantile(vals, .9):.2f} "
+              f"q95={np.quantile(vals, .95):.2f} max={vals.max():.2f} "
+              f"-> tolerance_xy_eye {eye_tol:.2f} (ref 9.0)")
+
     if args.write:
         path = os.path.join(args.model, "manifest.json")
         with open(path) as f:
@@ -264,6 +331,7 @@ def main(argv=None):
             ladder[9] = min(ladder[9], round(float(last), 4))
         manifest.setdefault("calibration", {})["cut_offs_face"] = ladder
         manifest["calibration"]["last_cut_off_face"] = ladder[9]
+        manifest["calibration"]["tolerance_xy_eye"] = eye_tol
         with open(path, "w") as f:
             json.dump(manifest, f, indent=1)
         print(f"\nwrote calibrated ladder to {path}: "

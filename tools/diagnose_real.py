@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--model", default="SavedNetworksTPU")
     ap.add_argument("--pang_gain", type=float, default=-1.0,
                     help="override the PAng step gain (-1 = model default)")
+    ap.add_argument("--pos_gain", type=float, default=-1.0,
+                    help="override the PosX/PosY step gain")
+    ap.add_argument("--scale_gain", type=float, default=-1.0,
+                    help="override the Scale step gain (log-space)")
     ap.add_argument("--cutoffs", default="",
                     help="override cut_offs_face: comma list of "
                          "'serial:value' pairs, e.g. '5:0.8,7:0.65,9:0.5'")
@@ -56,7 +60,8 @@ def main(argv=None):
         kw["cut_offs_face"] = tuple(ladder)
         kw["last_cut_off_face"] = ladder[9]
     cfg = DetectorConfig(smallest_face=args.smallest_face,
-                         pang_gain=args.pang_gain, **kw)
+                         pang_gain=args.pang_gain, pos_gain=args.pos_gain,
+                         scale_gain=args.scale_gain, **kw)
     det = FaceDetector(model, cfg)
     cfg = det.config      # manifest-resolved (ladder, contrast, pang gain)
     image, factor = load_image(args.image, cfg.prescale_size)

@@ -83,7 +83,11 @@ def main(argv=None):
     cnorm = bool(calib.get("detection_contrast_normalize", False))
     geom = model.spec.face_geom
     it = str(args.which)
-    net = model.nets[f"net_pose{it}"]
+    # Each head decodes ITS stage's network (specialist nets: PosX/PosY ->
+    # the xy net, PAng/Scale -> the angle/scale net; model.network_for
+    # resolves None0 feature reuse).
+    nets_by_kind = {k: model.network_for(f"{k}{it}")
+                    for k in ("PosX", "PosY", "PAng", "Scale")}
     ranges = {"0": (40.0, 20.0, 22.5), "1": (14.0, 13.0, 21.0)}[it]
     sigmas = [float(s) for s in args.sigmas.split(",")]
     rng = np.random.RandomState(args.seed)
@@ -101,8 +105,14 @@ def main(argv=None):
             )
             flat = contrast_normalize_avg_std(flat * 255.0, 137.5,
                                               0.40 * 255.0) / 255.0
-        feats = np.asarray(net.execute(flat))
-        return feats, {"PosX": dx, "PosY": dy, "PAng": ang, "Scale": smp}
+        feats = {}
+        for kind, knet in nets_by_kind.items():
+            key_ = id(knet)
+            if key_ not in feats:
+                feats[key_] = np.asarray(knet.execute(flat))
+        by_kind = {kind: feats[id(knet)]
+                   for kind, knet in nets_by_kind.items()}
+        return by_kind, {"PosX": dx, "PosY": dy, "PAng": ang, "Scale": smp}
 
     # --- synthetic faces --------------------------------------------------
     feats_s = truths_s = None
@@ -121,7 +131,7 @@ def main(argv=None):
             (el[0] + er[0]) / 2, (el[1] + er[1]) / 2, mo[0], mo[1])])
         f, t = collect(jnp.asarray(np.asarray(img)), row, per_img)
         fs.append(f); ts.append(t)
-    feats_s = np.concatenate(fs)
+    feats_s = {k: np.concatenate([f[k] for f in fs]) for k in fs[0]}
     truths_s = {k: np.concatenate([t[k] for t in ts]) for k in ts[0]}
 
     # --- real anchors -----------------------------------------------------
@@ -133,7 +143,7 @@ def main(argv=None):
         image, factor = load_image(f_img, 1000)
         f, t = collect(jnp.asarray(image), rows * factor, args.n // 3)
         fs.append(f); ts.append(t)
-    feats_r = np.concatenate(fs)
+    feats_r = {k: np.concatenate([f[k] for f in fs]) for k in fs[0]}
     truths_r = {k: np.concatenate([t[k] for t in ts]) for k in ts[0]}
 
     def ridge_corr(feats, t):
@@ -151,10 +161,12 @@ def main(argv=None):
         pred = (Xt - Xm) @ w + ym
         return np.corrcoef(pred, yt)[0, 1]
 
-    for dom, feats, truths in (("synthetic", feats_s, truths_s),
-                               ("real-anchor", feats_r, truths_r)):
-        print(f"\n=== {dom} ({len(feats)} samples), net_pose{it} ===")
+    for dom, kfeats, truths in (("synthetic", feats_s, truths_s),
+                                ("real-anchor", feats_r, truths_r)):
+        n_dom = len(next(iter(kfeats.values())))
+        print(f"\n=== {dom} ({n_dom} samples), iter {it} ===")
         for kind in ("PosX", "PosY", "PAng", "Scale"):
+            feats = kfeats[kind]
             clf = model.classifier(f"{kind}{it}")
             out, std = clf.regression(
                 jnp.asarray(feats[:, : clf.input_dim]), estimate_std=True)
