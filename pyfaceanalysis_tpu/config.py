@@ -168,6 +168,11 @@ class DetectorConfig:
     # of the grid. Survivors are ranked by Disc confidence if they exceed
     # the budget. 0 disables.
     mid_compact: int = 512
+    # Second compaction rung after Disc5 (start of refinement iteration 3):
+    # by then ~100-150 windows survive on a busy group photo, so the last
+    # extraction rounds (PAng2/Disc7, the dominant device cost) run on a
+    # quarter batch. 0 disables.
+    mid_compact2: int = 256
     # Refinement-round patch extraction via the Pallas MXU gather kernel
     # (ops.pallas_gather: per-patch pyramid-level tiles + one-hot matmul
     # sampling). "auto" = compiled kernel on TPU, XLA gather elsewhere;

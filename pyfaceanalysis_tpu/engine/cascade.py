@@ -138,7 +138,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
     img_idx = state.img_idx
     patches = None
     sl = None
-    compacted = False
+    compacted = 0
 
     # Refinement extraction via the Pallas pyramid-gather kernel: every
     # patch keeps reading its ORIGINAL grid level (scale drift is gated to
@@ -203,14 +203,22 @@ def run_cascade(plan: Tuple[StagePlan, ...],
         if st.kind == "Disc":
             conf = jnp.where(mask, reg, conf)
             mask = mask & (reg < cut_offs[st.serial])
-            # Mid-cascade device compaction: the first Disc gate kills most
-            # windows; shrink the batch so the remaining extraction rounds
-            # and network executions run on a fraction of the grid.
-            # Survivors are ranked (alive first, then best confidence).
-            if (not compacted and not collect_trace and cfg.mid_compact
-                    and cfg.mid_compact < mask.shape[0]):
+            # Mid-cascade device compaction: Disc gates kill most windows;
+            # shrink the batch so the remaining extraction rounds (the
+            # dominant device cost, ~8 us/patch in the Pallas sampler) and
+            # network executions run on a fraction of the grid. Two rungs:
+            # after the FIRST Disc gate (kills ~60% of the grid) and again
+            # after Disc5 (~100-150 alive on the canonical photo), sized by
+            # cfg.mid_compact / cfg.mid_compact2. Survivors are ranked
+            # (alive first, then best confidence).
+            target = 0
+            if compacted == 0 and cfg.mid_compact:
+                target = cfg.mid_compact
+            elif compacted == 1 and st.serial >= 5 and cfg.mid_compact2:
+                target = cfg.mid_compact2
+            if (target and not collect_trace and target < mask.shape[0]):
                 rank = jnp.where(mask, conf, 2.0)
-                idx = jnp.argsort(rank)[: cfg.mid_compact]
+                idx = jnp.argsort(rank)[: target]
                 boxes, angles, mask, conf = (boxes[idx], angles[idx],
                                              mask[idx], conf[idx])
                 orig_cx, orig_cy = orig_cx[idx], orig_cy[idx]
@@ -223,7 +231,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                     levels = levels[idx]
                 if sl is not None:
                     sl = sl[idx]
-                compacted = True
+                compacted += 1
         elif st.kind == "PosX":
             width = boxes[:, 2] - boxes[:, 0]
             shift = (cfg.resolved_pos_gain() * reg * width

@@ -81,47 +81,59 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, rolls_ref, coeffs_ref,
     def _prefetch():
         dma(p + 1, (p + 1) % 2).start()
 
-    # Tile-relative continuous level coordinates of every output pixel:
-    # lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output grid; coefficients
-    # computed host-side in sample_patches_pyramid, prefetched via SMEM).
-    # Built directly in the flattened (oh*ow, 1) layout -- Mosaic does not
-    # lower a (oh, ow) -> (oh*ow, 1) shape cast.
-    o = jax.lax.broadcasted_iota(jnp.int32, (oh * ow, 1), 0)
-    ii = (o // ow).astype(jnp.float32) + 0.5
-    jj = (o % ow).astype(jnp.float32) + 0.5
-    c = [coeffs_ref[6 * p + k] for k in range(6)]
-    lx = c[0] * jj + c[1] * ii + c[2]
-    ly = c[3] * jj + c[4] * ii + c[5]
-
     # The patch's x-window inside the 256-lane tile is rotated to lane 0 by
     # a dynamic roll (rolls_ref, host-computed; lx is already tile-rolled
     # relative), so only WIN=128 lanes participate in the weights and the
     # sampling product -- half the VPU weight work and half the MXU product
     # of the full-tile formulation.
     WIN = TILE_H
-    lane_h = jax.lax.broadcasted_iota(
-        jnp.int32, (oh * ow, TILE_H), 1).astype(jnp.float32)
-    lane_w = jax.lax.broadcasted_iota(
-        jnp.int32, (oh * ow, WIN), 1).astype(jnp.float32)
-    if bilinear:
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - lane_h))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - lane_w))
-    else:
-        wy = (jnp.round(ly) == lane_h).astype(jnp.float32)
-        wx = (jnp.round(lx) == lane_w).astype(jnp.float32)
-
     dma(p, p % 2).wait()
     tile = pltpu.roll(tiles_ref[p % 2], -rolls_ref[p], axis=1)[:, :WIN]
-    # bf16 MXU for the dominant (oh*ow, TILE_H) @ (TILE_H, WIN) product
-    # (2x f32 rate). Nearest one-hot weights are exact in bf16; tile texels
-    # round to ~0.2% -- below the uint8 quantization the canvas came from.
-    # Accumulation stays f32.
-    g = jnp.dot(wy.astype(jnp.bfloat16), tile.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    # Output as a (1, oh*ow) ROW: a (oh*ow, 1) column output tiles as
-    # (8, 128) vregs with one useful lane -- every downstream reader then
-    # pays 128x the bandwidth (measured 1.4 ms per consumer fusion).
-    out_ref[...] = jnp.sum(g * wx, axis=1).reshape(1, oh, ow)
+    tile16 = tile.astype(jnp.bfloat16)
+    c = [coeffs_ref[6 * p + k] for k in range(6)]
+
+    # The sampling product runs in OUTPUT-PIXEL CHUNKS of CH rows: the
+    # monolithic (oh*ow, TILE_H) weight build needed ~14 MB of scoped VMEM
+    # for its temporaries, which stalled the whole pipeline on allocation
+    # pressure -- measured 8.1 us/patch monolithic vs 2.8 us/patch chunked
+    # (identical output). Chunking bounds live temporaries to ~0.5 MB each.
+    CH = min(1024, oh * ow)
+    rows_ch = CH // ow
+    n_ch = (oh * ow) // CH
+    # Tile-relative continuous level coordinates of each chunk's output
+    # pixels: lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output grid;
+    # coefficients computed host-side, prefetched via SMEM). Built directly
+    # in the flattened (CH, 1) layout -- Mosaic does not lower a
+    # (oh, ow) -> (oh*ow, 1) shape cast.
+    o = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    ii0 = (o // ow).astype(jnp.float32) + 0.5
+    jj = (o % ow).astype(jnp.float32) + 0.5
+    lane_h = jax.lax.broadcasted_iota(
+        jnp.int32, (CH, TILE_H), 1).astype(jnp.float32)
+    lane_w = jax.lax.broadcasted_iota(
+        jnp.int32, (CH, WIN), 1).astype(jnp.float32)
+    for ch in range(n_ch):
+        ii = ii0 + float(ch * rows_ch)
+        lx = c[0] * jj + c[1] * ii + c[2]
+        ly = c[3] * jj + c[4] * ii + c[5]
+        if bilinear:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly - lane_h))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - lane_w))
+        else:
+            wy = (jnp.round(ly) == lane_h).astype(jnp.float32)
+            wx = (jnp.round(lx) == lane_w).astype(jnp.float32)
+        # bf16 MXU for the dominant (CH, TILE_H) @ (TILE_H, WIN) product
+        # (2x f32 rate). Nearest one-hot weights are exact in bf16; tile
+        # texels round to ~0.2% -- below the uint8 quantization the canvas
+        # came from. Accumulation stays f32.
+        g = jnp.dot(wy.astype(jnp.bfloat16), tile16,
+                    preferred_element_type=jnp.float32)
+        # Output as (rows, ow) ROWS: a (CH, 1) column output tiles as
+        # (8, 128) vregs with one useful lane -- every downstream reader
+        # then pays 128x the bandwidth (measured 1.4 ms per consumer
+        # fusion).
+        out_ref[0, ch * rows_ch:(ch + 1) * rows_ch, :] = (
+            jnp.sum(g * wx, axis=1).reshape(rows_ch, ow))
 
 
 def _snap_down(v, m):
