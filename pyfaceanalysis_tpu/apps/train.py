@@ -23,7 +23,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--num_faces", type=int, default=150,
                    help="faces per pose-walk dataset")
     p.add_argument("--steps_per_face", type=int, default=40)
-    p.add_argument("--age_samples", type=int, default=4000)
+    p.add_argument("--age_samples", type=int, default=12000)
+    p.add_argument("--age_jitter_px", type=float, default=4.0,
+                   help="eye-position jitter of the age training frames "
+                        "(Z px; production eye error is ~9)")
+    p.add_argument("--age_jitter_scale", type=float, default=0.06)
     p.add_argument("--seed", type=int, default=12345600)
     p.add_argument("--quick", action="store_true",
                    help="tiny sizes for smoke testing")
@@ -49,7 +53,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     real = dict(real_frac=args.real_frac, real_bg_frac=args.real_bg_frac,
                 real_gt_file=args.real_gt_file, disc_node=args.disc_node,
-                pose_node=args.pose_node, eye_node=args.eye_node)
+                pose_node=args.pose_node, eye_node=args.eye_node,
+                age_jitter_px=args.age_jitter_px,
+                age_jitter_scale=args.age_jitter_scale)
     if args.quick:
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,

@@ -402,7 +402,8 @@ def age_patch_constants(subimage_hw=(96, 96)):
     return first_row, first_col, 0.0, AGE_TY
 
 
-def age_dataset(key, n: int, chunk: int = 256
+def age_dataset(key, n: int, chunk: int = 256, jitter_px: float = 1.5,
+                jitter_scale: float = 0.03
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels.
 
@@ -418,8 +419,9 @@ def age_dataset(key, n: int, chunk: int = 256
 
     def one(k, jxy):
         img, attrs = synth.render_face(
-            k, canvas_hw=Z_SIZE, face_size=Z_FACE_SIZE * (1 + 0.03 * jxy[2]),
-            center=(cx + 1.5 * jxy[0], cy + 1.5 * jxy[1]))
+            k, canvas_hw=Z_SIZE,
+            face_size=Z_FACE_SIZE * (1 + jitter_scale * jxy[2]),
+            center=(cx + jitter_px * jxy[0], cy + jitter_px * jxy[1]))
         fr, fc, tx, ty = age_patch_constants()
         patch = extract_centered_patch(img, AGE_SAMPLING, fr, fc, tx, ty,
                                        (96, 96))

@@ -145,7 +145,16 @@ class TrainConfig:
     disc_steps: int = 40
     eye_faces: int = 120
     eye_steps: int = 40
-    age_samples: int = 4000
+    age_samples: int = 12000
+    # Eye-position jitter of the Z-frame age/race/gender training faces, in
+    # Z-frame pixels / relative scale. The deployed heads see DETECTED eye
+    # positions (rel eye error ~0.13 of the inter-eye distance = ~9 Z px),
+    # so training at the reference-style ~1.5 px makes the features brittle
+    # to exactly the misalignment production inputs carry. A/B (synth
+    # deployed eval, identical gates): 1.5px/4k -> age MAE 11.0y, gender
+    # 9/15; 4px+0.06/12k -> 8.6y, 10/15, race 12->13.
+    age_jitter_px: float = 4.0
+    age_jitter_scale: float = 0.06
     pose_classes: int = 50
     seed: int = 12345600    # the reference's RNG seed (FaceDetectUpdated.py:146)
     top_dim: int = 20
@@ -373,7 +382,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         _load_reused("net_age", ["clf_Age", "clf_Race", "clf_Gender"])
     else:
         log("[train] net_age: rendering Z-frame faces...")
-        x, labels = datasets.age_dataset(keys[5], cfg.age_samples)
+        x, labels = datasets.age_dataset(
+            keys[5], cfg.age_samples, jitter_px=cfg.age_jitter_px,
+            jitter_scale=cfg.age_jitter_scale)
         # Linear wiring like the reference's linearPCANetworkU11L, but
         # trained with a 3-label serial graph (age, race, gender) so the
         # shared feature space is attribute-discriminative, not merely
