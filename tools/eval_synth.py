@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--smallest_face", type=float, default=0.15)
     p.add_argument("--angle_max", type=float, default=0.0,
                    help="max |in-plane face angle| in degrees")
+    p.add_argument("--eye_tol", type=float, default=-1.0,
+                   help="override tolerance_xy_eye (-1 = model default)")
+    p.add_argument("--pos_gain", type=float, default=-1.0)
     args = p.parse_args(argv)
 
     import jax
@@ -38,7 +41,9 @@ def main(argv=None) -> int:
     from pyfaceanalysis_tpu.training import synth
 
     model = DetectionModel.load(args.pipeline_dir)
-    cfg = DetectorConfig(smallest_face=args.smallest_face)
+    cfg = DetectorConfig(smallest_face=args.smallest_face,
+                         tolerance_xy_eye=args.eye_tol,
+                         pos_gain=args.pos_gain)
     det = FaceDetector(model, cfg)
 
     rng = np.random.RandomState(args.seed)
