@@ -109,6 +109,48 @@ class TestCalibrationResolution:
             with open(path, "w") as f:
                 json.dump(manifest, f)
 
+    def test_manifest_gains_and_eye_tol_resolved(self, random_artifact_dir):
+        """pos/scale/pang step gains and the eye 'too far' tolerance resolve
+        from the manifest calibration; explicit user values win; absent
+        entries fall back to reference behavior (gain 1.0 / tol 9.0)."""
+        import json
+
+        from pyfaceanalysis_tpu.engine.detector import (DetectionModel,
+                                                        FaceDetector)
+        path = os.path.join(random_artifact_dir, "manifest.json")
+        with open(path) as f:
+            manifest = json.load(f)
+        calib = manifest.setdefault("calibration", {})
+        calib.update({"pos_gain": 0.65, "scale_gain": 0.9,
+                      "pang_gain": 0.25, "tolerance_xy_eye": 10.29})
+        with open(path, "w") as f:
+            json.dump(manifest, f)
+        try:
+            model = DetectionModel.load(random_artifact_dir)
+            det = FaceDetector(model, DetectorConfig())
+            assert det.config.resolved_pos_gain() == 0.65
+            assert det.config.resolved_scale_gain() == 0.9
+            assert det.config.resolved_pang_gain() == 0.25
+            assert det.config.tolerance_xy_eye == 10.29
+            # explicit user values win
+            det2 = FaceDetector(model, DetectorConfig(
+                pos_gain=1.0, scale_gain=1.0, tolerance_xy_eye=9.0))
+            assert det2.config.resolved_pos_gain() == 1.0
+            assert det2.config.resolved_scale_gain() == 1.0
+            assert det2.config.tolerance_xy_eye == 9.0
+        finally:
+            for k in ("pos_gain", "scale_gain", "pang_gain",
+                      "tolerance_xy_eye"):
+                calib.pop(k, None)
+            with open(path, "w") as f:
+                json.dump(manifest, f)
+        # absent calibration -> reference behavior
+        model = DetectionModel.load(random_artifact_dir)
+        det3 = FaceDetector(model, DetectorConfig())
+        assert det3.config.resolved_pos_gain() == 1.0
+        assert det3.config.resolved_scale_gain() == 1.0
+        assert det3.config.tolerance_xy_eye == 9.0
+
 
 class TestDetectEndToEnd:
     def test_full_pipeline_runs(self, loaded_model):
