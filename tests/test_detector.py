@@ -2,6 +2,7 @@
 loading, grid, cascade, eyes, NMS, heads, CLI writer). Detection *quality*
 is covered by the slow trained-pipeline test in test_trained_pipeline.py."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -167,6 +168,33 @@ class TestDetectEndToEnd:
             assert np.isfinite(d.box).all()
             assert np.isfinite([*d.eye_left, *d.eye_right]).all()
             assert d.age is None or np.isfinite(d.age)
+
+    def test_compaction_lossless_when_capacity_covers_survivors(
+            self, loaded_model):
+        """Both mid-cascade compaction rungs only reorder rows; with
+        capacity >= surviving windows the final detections must equal the
+        uncompacted run's (cascade.py compaction ranks alive-first)."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        base = DetectorConfig(smallest_face=0.4,
+                              bucket_sizes=(256, 1024, 4096),
+                              cut_offs_face=(1.01,) * 10)  # keep everything
+        image = np.random.RandomState(2).rand(120, 140).astype(np.float32)
+
+        def rows(cfg):
+            det = FaceDetector(loaded_model, cfg)
+            out = det.detect(image, estimate_attributes=False)
+            assert det.windows_scanned <= 128  # capacity must cover alive
+            r = [(*d.box, d.angle, *d.eye_left, *d.eye_right, d.confidence)
+                 for d in out]
+            return np.asarray(sorted(r))
+
+        uncompacted = rows(dataclasses.replace(base, mid_compact=0,
+                                               mid_compact2=0))
+        compacted = rows(dataclasses.replace(base, mid_compact=128,
+                                             mid_compact2=128))
+        assert uncompacted.shape == compacted.shape
+        if len(uncompacted):
+            np.testing.assert_allclose(uncompacted, compacted, atol=1e-4)
 
     def test_trace_collection(self, loaded_model):
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
