@@ -44,7 +44,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--real_gt_file", default="",
                    help="annotation file for real faces "
                         "(default data/train_faces_gt.txt)")
-    p.add_argument("--disc_node", default="sfa", choices=["sfa", "igsfa"])
+    p.add_argument("--disc_node", default="igsfa", choices=["sfa", "igsfa"])
     p.add_argument("--pose_node", default="sfa", choices=["sfa", "igsfa"])
     p.add_argument("--eye_node", default="sfa", choices=["sfa", "igsfa"])
     args = p.parse_args(argv)

@@ -187,8 +187,12 @@ class TrainConfig:
     scale_gain: float = 1.0
     # Node type for the detection nets: "sfa" or "igsfa" (slow features +
     # whitened residual PCA per layer, cuicuilco iGSFANode equivalent --
-    # models.moments.solve_igsfa_device). A/B knob per family.
-    disc_node: str = "sfa"
+    # models.moments.solve_igsfa_device). A/B knob per family. iGSFA is the
+    # ADOPTED default for the disc nets (round-2 A/B: recall +0.05, FP
+    # -0.1/img, much cleaner candidate pool -- docs/ROUND2_NOTES.md); pose
+    # and eye heads are soft-REGRESSORS, where residual-PCA dims dilute the
+    # posteriors (A/B'd and rejected).
+    disc_node: str = "igsfa"
     pose_node: str = "sfa"
     eye_node: str = "sfa"
 
