@@ -220,9 +220,13 @@ def main() -> int:
     # Device-only profile + compute-intensity accounting.
     dev_dt, n_real, bytes_pushed = _device_profile(detector, image)
     flops_w = _flops_per_window(model)
-    # mid-cascade compaction: only ~mid_compact windows run stages >= 6
-    eff_windows = min(n_real, cfg.mid_compact or n_real)
-    approx_flops = flops_w * n_real * 0.45 + flops_w * eff_windows * 0.55
+    # Two-rung mid-cascade compaction (engine/cascade.py): stage 0 runs on
+    # the full grid, stages 1-10 on <= mid_compact rows, stages 11-16 on
+    # <= mid_compact2 rows (17 detection stages; equal per-stage FLOPs is
+    # a fair approximation since all nets share the topology).
+    mid1 = min(n_real, cfg.mid_compact or n_real)
+    mid2 = min(mid1, cfg.mid_compact2 or mid1)
+    approx_flops = flops_w / 17.0 * (n_real * 1 + mid1 * 10 + mid2 * 6)
     achieved_tflops = approx_flops / dev_dt / 1e12
 
     cpu_wps = _cpu_reference_windows_per_sec(model)

@@ -44,6 +44,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--real_gt_file", default="",
                    help="annotation file for real faces "
                         "(default data/train_faces_gt.txt)")
+    p.add_argument("--pose_classes", type=int, default=50,
+                   help="Gaussian-classifier bins of the pose/eye "
+                        "regressors (reference ships 50)")
     p.add_argument("--disc_node", default="igsfa", choices=["sfa", "igsfa"])
     p.add_argument("--pose_node", default="sfa", choices=["sfa", "igsfa"])
     p.add_argument("--eye_node", default="sfa", choices=["sfa", "igsfa"])
@@ -55,7 +58,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 real_gt_file=args.real_gt_file, disc_node=args.disc_node,
                 pose_node=args.pose_node, eye_node=args.eye_node,
                 age_jitter_px=args.age_jitter_px,
-                age_jitter_scale=args.age_jitter_scale)
+                age_jitter_scale=args.age_jitter_scale,
+                pose_classes=args.pose_classes)
     if args.quick:
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,
