@@ -33,17 +33,27 @@ def test_pose_regressors_track_labels():
     import jax.numpy as jnp
 
     model = DetectionModel.load(REPO_ARTIFACTS)
-    x, labels = datasets.pose_dataset(jax.random.PRNGKey(7), 16, 16,
-                                      NetGeometry(), 40.0, 20.0, 22.5)
-    feats = np.asarray(jax.jit(model.network_for("PosX0").execute)(x))
+    calib = getattr(model, "calibration", {}) or {}
+    cnorm = bool(calib.get("detection_contrast_normalize", False))
+    # The xy specialists train/run at full grid jitter; the angle/scale
+    # specialists at narrow positional jitter (their stages run after the
+    # PosX/PosY corrections) -- evaluate each stage's classifier on ITS
+    # network's features at ITS input distribution (trainer pose_plan).
+    x_wide, lab_wide = datasets.pose_dataset(
+        jax.random.PRNGKey(7), 16, 16, NetGeometry(), 40.0, 20.0, 22.5,
+        contrast_normalize=cnorm)
+    x_narrow, lab_narrow = datasets.pose_dataset(
+        jax.random.PRNGKey(9), 16, 16, NetGeometry(), 12.0, 10.0, 22.5,
+        contrast_normalize=cnorm)
 
     # Thresholds reflect the renderer-v2 + blur-randomization training data
-    # (much harder scenes than round 1: textures, yaw, patch-level blur);
-    # a dedicated wide-field angle net was A/B-tested for PAng and did NOT
-    # beat these on real photos (docs/ROUND2_NOTES.md).
-    for stage, lab, thresh in [("PosX0", "dx", 0.5), ("PosY0", "dy", 0.3),
-                               ("PAng0", "ang", 0.3),
-                               ("Scale0", "scale", 0.1)]:
+    # (much harder scenes than round 1: textures, yaw, patch-level blur).
+    for stage, lab, thresh, (x, labels) in [
+            ("PosX0", "dx", 0.5, (x_wide, lab_wide)),
+            ("PosY0", "dy", 0.3, (x_wide, lab_wide)),
+            ("PAng0", "ang", 0.3, (x_narrow, lab_narrow)),
+            ("Scale0", "scale", 0.1, (x_narrow, lab_narrow))]:
+        feats = np.asarray(jax.jit(model.network_for(stage).execute)(x))
         clf = model.classifier(stage)
         pred = np.asarray(clf.regression(
             jnp.asarray(feats[:, :clf.input_dim])))
@@ -59,8 +69,11 @@ def test_disc_separates_faces_from_background():
     import jax.numpy as jnp
 
     model = DetectionModel.load(REPO_ARTIFACTS)
-    x, cls, avg = datasets.disc_dataset(jax.random.PRNGKey(8), 12, 16,
-                                        NetGeometry())
+    calib = getattr(model, "calibration", {}) or {}
+    x, cls, avg = datasets.disc_dataset(
+        jax.random.PRNGKey(8), 12, 16, NetGeometry(),
+        contrast_normalize=bool(
+            calib.get("detection_contrast_normalize", False)))
     net = model.network_for("Disc1")
     feats = np.asarray(jax.jit(net.execute)(x))
     clf = model.classifier("Disc1")
