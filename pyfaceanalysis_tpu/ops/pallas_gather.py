@@ -97,23 +97,23 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, rolls_ref, coeffs_ref,
     # for its temporaries, which stalled the whole pipeline on allocation
     # pressure -- measured 8.1 us/patch monolithic vs 2.8 us/patch chunked
     # (identical output). Chunking bounds live temporaries to ~0.5 MB each.
-    CH = min(1024, oh * ow)
-    rows_ch = CH // ow
-    n_ch = (oh * ow) // CH
-    # Tile-relative continuous level coordinates of each chunk's output
-    # pixels: lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output grid;
-    # coefficients computed host-side, prefetched via SMEM). Built directly
-    # in the flattened (CH, 1) layout -- Mosaic does not lower a
-    # (oh, ow) -> (oh*ow, 1) shape cast.
-    o = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
-    ii0 = (o // ow).astype(jnp.float32) + 0.5
-    jj = (o % ow).astype(jnp.float32) + 0.5
-    lane_h = jax.lax.broadcasted_iota(
-        jnp.int32, (CH, TILE_H), 1).astype(jnp.float32)
-    lane_w = jax.lax.broadcasted_iota(
-        jnp.int32, (CH, WIN), 1).astype(jnp.float32)
-    for ch in range(n_ch):
-        ii = ii0 + float(ch * rows_ch)
+    rows_ch = max(1, 1024 // ow)     # whole output rows per chunk
+    row_starts = list(range(0, oh, rows_ch))
+    for r0 in row_starts:
+        rows = min(rows_ch, oh - r0)  # final chunk may be partial
+        CH = rows * ow
+        # Tile-relative continuous level coordinates of the chunk's output
+        # pixels: lx = Ax*(j+.5) + Bx*(i+.5) + Cx (linear in the output
+        # grid; coefficients computed host-side, prefetched via SMEM).
+        # Built directly in the flattened (CH, 1) layout -- Mosaic does
+        # not lower a (rows, ow) -> (CH, 1) shape cast.
+        o = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+        ii = (o // ow).astype(jnp.float32) + (float(r0) + 0.5)
+        jj = (o % ow).astype(jnp.float32) + 0.5
+        lane_h = jax.lax.broadcasted_iota(
+            jnp.int32, (CH, TILE_H), 1).astype(jnp.float32)
+        lane_w = jax.lax.broadcasted_iota(
+            jnp.int32, (CH, WIN), 1).astype(jnp.float32)
         lx = c[0] * jj + c[1] * ii + c[2]
         ly = c[3] * jj + c[4] * ii + c[5]
         if bilinear:
@@ -132,8 +132,8 @@ def _gather_kernel(levels_ref, oy_ref, ox_ref, rolls_ref, coeffs_ref,
         # (8, 128) vregs with one useful lane -- every downstream reader
         # then pays 128x the bandwidth (measured 1.4 ms per consumer
         # fusion).
-        out_ref[0, ch * rows_ch:(ch + 1) * rows_ch, :] = (
-            jnp.sum(g * wx, axis=1).reshape(rows_ch, ow))
+        out_ref[0, r0:r0 + rows, :] = (
+            jnp.sum(g * wx, axis=1).reshape(rows, ow))
 
 
 def _snap_down(v, m):

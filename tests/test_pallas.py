@@ -53,6 +53,26 @@ def test_matches_canvas_gather_at_unit_scale():
                                **BF16_TOL)
 
 
+def test_non64_out_hw_matches_canvas_gather():
+    """The chunked sampling loop handles output widths that do not divide
+    the 1024-pixel chunk (e.g. 96) and partial final chunks."""
+    key = jax.random.PRNGKey(5)
+    img = _rand_image(key)
+    pyr = build_pyramid(img, (1.0,), (TILE_H, TILE_W))
+    boxes = jnp.asarray([[30.0, 28.0, 93.0, 91.0],
+                         [40.5, 35.25, 90.5, 85.25]], jnp.float32)
+    angles = jnp.asarray([10.0, -17.5], jnp.float32)
+    for hw in [(96, 96), (64, 96), (40, 24)]:
+        want = extract_patches_rotate(img, boxes, angles, hw,
+                                      method="bilinear")
+        got = sample_patches_pyramid(pyr, jnp.ones((1,)),
+                                     jnp.zeros((2,), jnp.int32), boxes,
+                                     angles, hw, method="bilinear",
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   **BF16_TOL)
+
+
 def test_bilinear_matches_canvas_gather_at_unit_scale():
     key = jax.random.PRNGKey(2)
     img = _rand_image(key)
