@@ -108,6 +108,10 @@ def _cpu_reference_windows_per_sec(model, n_windows: int = 256) -> float:
     def np_regress(clf, sl):
         d = clf.input_dim
         x = sl[:, :d]
+        if not hasattr(clf, "inv_covs"):      # ridge head
+            return np.clip(x @ np.asarray(clf.w, np.float64)
+                           + float(clf.b), float(clf.clip_lo),
+                           float(clf.clip_hi))
         means = np.asarray(clf.means, np.float64)
         icov = np.asarray(clf.inv_covs, np.float64)
         diff = x[:, None, :] - means[None]
@@ -141,8 +145,11 @@ def _flops_per_window(model) -> float:
                 total += 2 * F * De * out
         clf = model.classifiers[st.clf_idx]
         D = int(clf.input_dim)
-        C = len(np.asarray(clf.avg_labels))
-        total += 2 * C * D * D
+        if hasattr(clf, "inv_covs"):
+            C = len(np.asarray(clf.avg_labels))
+            total += 2 * C * D * D
+        else:                                  # ridge head: one dot
+            total += 2 * D
     return float(total)
 
 

@@ -50,6 +50,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--disc_node", default="igsfa", choices=["sfa", "igsfa"])
     p.add_argument("--pose_node", default="sfa", choices=["sfa", "igsfa"])
     p.add_argument("--eye_node", default="sfa", choices=["sfa", "igsfa"])
+    p.add_argument("--pose_head", default="gaussian",
+                   choices=["gaussian", "ridge"],
+                   help="pose-stage decoder: reference Gaussian soft "
+                        "regression, or a ridge readout (better real-photo "
+                        "decode; recalibrate gates after switching)")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
@@ -59,7 +64,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 pose_node=args.pose_node, eye_node=args.eye_node,
                 age_jitter_px=args.age_jitter_px,
                 age_jitter_scale=args.age_jitter_scale,
-                pose_classes=args.pose_classes)
+                pose_classes=args.pose_classes,
+                pose_head=args.pose_head)
     if args.quick:
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,

@@ -59,20 +59,36 @@ def load_network(path: str) -> HierarchicalNetwork:
                                tuple(meta["input_hw"]))
 
 
-def save_classifier(path: str, clf: GaussianRegressor,
-                    input_dim: int) -> None:
+def save_classifier(path: str, clf, input_dim: int) -> None:
     """``input_dim`` is the feature-truncation width (classifier.input_dim in
-    the reference, FaceDetectUpdated.py:709); it equals means.shape[1]."""
-    assert input_dim == clf.means.shape[1]
-    np.savez_compressed(path,
-                        means=np.asarray(clf.means),
-                        inv_covs=np.asarray(clf.inv_covs),
-                        log_norm=np.asarray(clf.log_norm),
-                        avg_labels=np.asarray(clf.avg_labels))
+    the reference, FaceDetectUpdated.py:709). Accepts either head type:
+    GaussianRegressor (reference semantics) or ops.ridge.RidgeRegressor
+    (optional linear decoder)."""
+    assert input_dim == clf.input_dim
+    if hasattr(clf, "inv_covs"):
+        np.savez_compressed(path,
+                            means=np.asarray(clf.means),
+                            inv_covs=np.asarray(clf.inv_covs),
+                            log_norm=np.asarray(clf.log_norm),
+                            avg_labels=np.asarray(clf.avg_labels))
+    else:
+        np.savez_compressed(path,
+                            head=np.asarray("ridge"),
+                            w=np.asarray(clf.w),
+                            b=np.asarray(clf.b),
+                            clip_lo=np.asarray(clf.clip_lo),
+                            clip_hi=np.asarray(clf.clip_hi),
+                            resid_std=np.asarray(clf.resid_std))
 
 
-def load_classifier(path: str) -> GaussianRegressor:
+def load_classifier(path: str):
     z = np.load(path)
+    if "w" in z.files:
+        from pyfaceanalysis_tpu.ops.ridge import RidgeRegressor
+        return RidgeRegressor(jnp.asarray(z["w"]), jnp.asarray(z["b"]),
+                              jnp.asarray(z["clip_lo"]),
+                              jnp.asarray(z["clip_hi"]),
+                              jnp.asarray(z["resid_std"]))
     return GaussianRegressor(jnp.asarray(z["means"]),
                              jnp.asarray(z["inv_covs"]),
                              jnp.asarray(z["log_norm"]),

@@ -193,6 +193,12 @@ class TrainConfig:
     # and eye heads are soft-REGRESSORS, where residual-PCA dims dilute the
     # posteriors (A/B'd and rejected).
     disc_node: str = "igsfa"
+    # Decoder head for the pose-refinement stages: "gaussian" (reference
+    # semantics, default) or "ridge" (ops.ridge.RidgeRegressor -- decodes
+    # the same features substantially better, esp. on real photos: PosX1
+    # real-anchor corr 0.50 gaussian vs 0.79 ridge). Gates/gains must be
+    # recalibrated when switching heads.
+    pose_head: str = "gaussian"
     pose_node: str = "sfa"
     eye_node: str = "sfa"
 
@@ -289,7 +295,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                nets[name])
         for c in clf_names:
             artifacts.save_classifier(os.path.join(out_dir, c + ".npz"),
-                                      clfs[c], clfs[c].means.shape[1])
+                                      clfs[c], clfs[c].input_dim)
 
     # --- pose nets: per-iteration SPECIALISTS (see _STAGE_LAYOUT note) ----
     # xy nets sample the full grid offset envelope; angle/scale nets sample
@@ -326,8 +332,12 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         feats = _execute(net, x)
         for c, cname in zip(cols, cnames):
             dim = 10 if cname == "clf_PosX0" else 20
-            clfs[cname] = fit_regressor_bins(
-                feats, labels[c], dim, cfg.pose_classes)
+            if cfg.pose_head == "ridge":
+                from pyfaceanalysis_tpu.ops.ridge import RidgeRegressor
+                clfs[cname] = RidgeRegressor.fit(feats, labels[c], dim)
+            else:
+                clfs[cname] = fit_regressor_bins(
+                    feats, labels[c], dim, cfg.pose_classes)
         _persist(name, cnames)
         log(f"[train] {name}: done")
 
@@ -426,7 +436,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     feats = _execute(net9, res)
     clf9 = clfs["clf_Disc9"]
     vals = np.asarray(clf9.regression(
-        jnp.asarray(feats[:, :clf9.means.shape[1]])))
+        jnp.asarray(feats[:, :clf9.input_dim])))
     last_cut = float(min(max(np.quantile(vals, 0.90) * 1.15, 0.02), 0.9))
     log(f"[train] residual disc outputs: median={np.median(vals):.3f} "
         f"q90={np.quantile(vals, 0.90):.3f} -> last_cut_off={last_cut:.3f}")
@@ -436,7 +446,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         artifacts.save_network(os.path.join(out_dir, name + ".npz"), net)
     for name, clf in clfs.items():
         artifacts.save_classifier(os.path.join(out_dir, name + ".npz"), clf,
-                                  clf.means.shape[1])
+                                  clf.input_dim)
     stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
     spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
     write_pipeline(os.path.join(out_dir, "Pipeline_tpu.txt"), spec)

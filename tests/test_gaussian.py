@@ -135,3 +135,45 @@ def test_legacy_pickles_convert_and_agree():
         out = np.asarray(reg.regression(x.astype(np.float32)))
         span = max(avg_labels.max() - avg_labels.min(), 1.0)
         np.testing.assert_allclose(out, ref, atol=5e-3 * span)
+
+
+class TestRidgeHead:
+    """Optional linear decoder for the pose stages (ops.ridge)."""
+
+    def test_fit_recovers_linear_map_and_clips(self):
+        import jax.numpy as jnp
+
+        from pyfaceanalysis_tpu.ops.ridge import RidgeRegressor
+        rng = np.random.default_rng(3)
+        w_true = rng.normal(size=6)
+        x = rng.normal(size=(500, 9)).astype(np.float32)  # 3 extra dims
+        y = x[:, :6] @ w_true + 0.7
+        clf = RidgeRegressor.fit(x, y, input_dim=6, reg=1e-8)
+        assert clf.input_dim == 6
+        pred = np.asarray(clf.regression(jnp.asarray(x[:, :6])))
+        np.testing.assert_allclose(pred, np.clip(y, y.min(), y.max()),
+                                   atol=1e-3)
+        # Off-manifold inputs clip to the training label range (the
+        # Gaussian head's convex-combination envelope).
+        far = np.asarray(clf.regression(jnp.asarray(
+            100.0 * np.ones((1, 6), np.float32))))
+        assert y.min() - 1e-5 <= far[0] <= y.max() + 1e-5
+        out, std = clf.regression(jnp.asarray(x[:, :6]), estimate_std=True)
+        assert std.shape == out.shape and float(std[0]) < 0.1
+
+    def test_artifact_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from pyfaceanalysis_tpu.io import artifacts
+        from pyfaceanalysis_tpu.ops.ridge import RidgeRegressor
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(200, 5)).astype(np.float32)
+        y = x @ rng.normal(size=5) + 1.0
+        clf = RidgeRegressor.fit(x, y, input_dim=5)
+        path = str(tmp_path / "clf_PosX9.npz")
+        artifacts.save_classifier(path, clf, 5)
+        back = artifacts.load_classifier(path)
+        assert type(back).__name__ == "RidgeRegressor"
+        np.testing.assert_allclose(
+            np.asarray(back.regression(jnp.asarray(x))),
+            np.asarray(clf.regression(jnp.asarray(x))), rtol=1e-6)
