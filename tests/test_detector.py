@@ -196,6 +196,45 @@ class TestDetectEndToEnd:
         if len(uncompacted):
             np.testing.assert_allclose(uncompacted, compacted, atol=1e-4)
 
+    def test_full_pipeline_runs_with_ridge_pose_heads(
+            self, random_artifact_dir, tmp_path):
+        """The cascade consumes pose heads only through regression() /
+        input_dim, so ridge-decoded artifacts (--pose_head ridge) must run
+        end to end."""
+        import shutil
+
+        from pyfaceanalysis_tpu.engine.detector import (DetectionModel,
+                                                        FaceDetector)
+        from pyfaceanalysis_tpu.ops.ridge import RidgeRegressor
+        out = str(tmp_path / "ridge_artifacts")
+        shutil.copytree(random_artifact_dir, out)
+        rng = np.random.RandomState(5)
+        for cname, dim, lo, hi in [("clf_PosX0", 10, -5, 5),
+                                   ("clf_PosY0", 20, -5, 5),
+                                   ("clf_PAng0", 20, -10, 10),
+                                   ("clf_PosX1", 20, -5, 5),
+                                   ("clf_PosY1", 20, -5, 5),
+                                   ("clf_PAng1", 20, -10, 10),
+                                   ("clf_Scale0", 20, 0.75, 0.9),
+                                   ("clf_Scale1", 20, 0.75, 0.9)]:
+            x = rng.normal(size=(200, dim)).astype(np.float32)
+            y = rng.uniform(lo, hi, 200)
+            clf = RidgeRegressor.fit(x, y, input_dim=dim)
+            artifacts.save_classifier(os.path.join(out, cname + ".npz"),
+                                      clf, dim)
+        model = DetectionModel.load(out)
+        assert type(model.classifier("PosX0")).__name__ == "RidgeRegressor"
+        assert type(model.classifier("Disc1")).__name__ != "RidgeRegressor"
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        det = FaceDetector(model, cfg)
+        image = np.random.RandomState(3).rand(120, 140).astype(np.float32)
+        out_dets = det.detect(image)
+        assert det.windows_scanned > 0
+        for d in out_dets:
+            assert np.isfinite(d.box).all()
+
     def test_trace_collection(self, loaded_model):
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
         cfg = DetectorConfig(smallest_face=0.4,
