@@ -197,7 +197,35 @@ def _device_profile(detector, image, runs: int = 10):
     return dt, n_real, bytes_pushed
 
 
+def _device_watchdog(seconds: int = 300) -> None:
+    """Fail fast (one diagnostic JSON line + nonzero exit) if the TPU
+    backend hangs on initialization -- a dead axon relay blocks the first
+    device op forever IN C CODE (Python signal handlers never fire), which
+    would otherwise hang the whole bench run (observed: tunnel outage
+    2026-08-17, port 8103 unreachable). Probe in a killable subprocess."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jnp.ones((8, 8)).sum().block_until_ready()"],
+            timeout=seconds, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "detection_windows_per_sec",
+            "value": 0.0, "unit": "windows/s", "vs_baseline": 0.0,
+            "detail": {"error": f"TPU backend init timed out after "
+                                f"{seconds}s (tunnel/relay down?)"}}))
+        sys.exit(2)
+    except subprocess.CalledProcessError:
+        pass  # probe crashed for another reason; let the real run report it
+
+
 def main() -> int:
+    _device_watchdog()
+
     from pyfaceanalysis_tpu.config import DetectorConfig
     from pyfaceanalysis_tpu.engine.detector import FaceDetector
 
