@@ -26,8 +26,6 @@ from pyfaceanalysis_tpu.utils.compile_cache import (  # noqa: F401
     enable_persistent_compilation_cache,
 )
 
-# Cold-start mitigation for the reference's one-image-per-process CLI
-# pattern: cache compiled XLA programs on disk so only the first process
-# ever pays the ~100 s cascade compile. Best-effort; opt out with
-# PFA_NO_COMPILE_CACHE=1.
-enable_persistent_compilation_cache()
+# NOTE: the persistent XLA compile cache is enabled by the CLI entry points
+# (apps/*, bench.py), not at package import -- a host application embedding
+# this package keeps full control of its own jax config (ADVICE r2).

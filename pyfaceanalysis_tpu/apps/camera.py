@@ -17,10 +17,13 @@ import sys
 import time
 from typing import List, Optional
 
+from pyfaceanalysis_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
 import numpy as np
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(prog="pfa-camera",
                                 description="Live face detection from a "
                                             "webcam (pygame).")

@@ -23,6 +23,7 @@ import sys
 import time
 from typing import List, Optional
 
+from pyfaceanalysis_tpu.utils.compile_cache import enable_persistent_compilation_cache
 from pyfaceanalysis_tpu.config import DetectorConfig
 from pyfaceanalysis_tpu.utils.benchmark import Benchmark
 
@@ -82,6 +83,7 @@ def _b(v: str) -> bool:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    enable_persistent_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     try:
         opts, args = getopt.getopt(argv, "b:", _LONG_OPTS)
@@ -186,6 +188,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if v and k in ("camera_enabled", "pygame_display"):
             print(f"notice: --{k} requested; use `pfa-camera` for the live "
                   "pygame loop")
+        if v and k == "network_figures_together":
+            print("notice: --network_figures_together is the only layout: "
+                  "--display_plots writes all per-stage panels into one "
+                  "cascade_trace figure")
 
     if distributed:
         # Multi-host batch sweep: images are independent until their own
@@ -210,7 +216,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             verbose=verbose,
             display_plots=display_flags.get("display_plots", False),
             show_final_detection=display_flags.get("show_final_detection",
-                                                   False))
+                                                   False),
+            display_errors=display_flags.get("display_errors", False))
 
 
 def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
@@ -220,7 +227,8 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
                   true_coordinates_file: Optional[str] = None,
                   save_patches: bool = False, save_normalized: bool = False,
                   verbose: bool = True, display_plots: bool = False,
-                  show_final_detection: bool = False) -> int:
+                  show_final_detection: bool = False,
+                  display_errors: bool = False) -> int:
     from pyfaceanalysis_tpu.engine.detector import DetectionModel, FaceDetector
     from pyfaceanalysis_tpu.io import images as im_io
     from pyfaceanalysis_tpu.io import writers
@@ -242,7 +250,8 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
             PerStageEvaluator,
         )
         truth = GroundTruthEvaluator.from_files(coordinates_filename,
-                                                true_coordinates_file)
+                                                true_coordinates_file,
+                                                display_errors=display_errors)
         # Per-stage diagnostics (reference FaceDetectUpdated.py:780-931):
         # enabled alongside the coordinates file; needs the cascade trace.
         stage_eval = PerStageEvaluator.from_files(

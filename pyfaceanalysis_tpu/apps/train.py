@@ -14,8 +14,11 @@ import sys
 import time
 from typing import List, Optional
 
+from pyfaceanalysis_tpu.utils.compile_cache import enable_persistent_compilation_cache
+
 
 def main(argv: Optional[List[str]] = None) -> int:
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(
         prog="pfa-train",
         description="Train the TPU face-analysis pipeline (synthetic data).")

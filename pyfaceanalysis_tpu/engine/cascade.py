@@ -138,7 +138,7 @@ def run_cascade(plan: Tuple[StagePlan, ...],
     img_idx = state.img_idx
     patches = None
     sl = None
-    compacted = 0
+    fired_rung1 = fired_rung2 = False
 
     # Refinement extraction via the Pallas pyramid-gather kernel: every
     # patch keeps reading its ORIGINAL grid level (scale drift is gated to
@@ -211,11 +211,14 @@ def run_cascade(plan: Tuple[StagePlan, ...],
             # after Disc5 (~100-150 alive on the canonical photo), sized by
             # cfg.mid_compact / cfg.mid_compact2. Survivors are ranked
             # (alive first, then best confidence).
+            # Rungs are selected by stage serial, not by how many have
+            # already run (ADVICE r2: gating rung 2 on "rung 1 fired"
+            # meant mid_compact=0 silently disabled mid_compact2 too).
             target = 0
-            if compacted == 0 and cfg.mid_compact:
-                target = cfg.mid_compact
-            elif compacted == 1 and st.serial >= 5 and cfg.mid_compact2:
-                target = cfg.mid_compact2
+            if st.serial < 5 and not fired_rung1 and cfg.mid_compact:
+                target, fired_rung1 = cfg.mid_compact, True
+            elif st.serial >= 5 and not fired_rung2 and cfg.mid_compact2:
+                target, fired_rung2 = cfg.mid_compact2, True
             if (target and not collect_trace and target < mask.shape[0]):
                 rank = jnp.where(mask, conf, 2.0)
                 idx = jnp.argsort(rank)[: target]
@@ -231,7 +234,6 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                     levels = levels[idx]
                 if sl is not None:
                     sl = sl[idx]
-                compacted += 1
         elif st.kind == "PosX":
             width = boxes[:, 2] - boxes[:, 0]
             shift = (cfg.resolved_pos_gain() * reg * width

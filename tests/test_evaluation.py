@@ -117,3 +117,26 @@ def test_per_stage_evaluator_counts(tmp_path):
                 == ev.num_boxes[si])
     report = ev.report()
     assert "After Disc1" in report
+
+
+def test_duplicate_detection_counts_as_false_positive():
+    """A second detection matching an already-matched face is an FP
+    (standard multi-face accounting; VERDICT r2 weak #7)."""
+    truth = {"img.jpg": np.stack([_truth_row(100, 100, 140, 100)])}
+    ev = GroundTruthEvaluator(truth)
+    dets = [
+        _Det((101, 101), (139, 100)),     # TP
+        _Det((102, 100), (141, 101)),     # duplicate of the same face -> FP
+    ]
+    ev.record("img.jpg", dets)
+    assert ev.true_positives == 1
+    assert ev.false_positives == 1
+    assert ev.false_negatives == 0
+
+
+def test_display_errors_prints_per_detection_lines(capsys):
+    truth = {"img.jpg": np.stack([_truth_row(100, 100, 140, 100)])}
+    ev = GroundTruthEvaluator(truth, display_errors=True)
+    ev.record("img.jpg", [_Det((101, 101), (139, 100))])
+    out = capsys.readouterr().out
+    assert "rel_eye_error=" in out and "-> TP" in out

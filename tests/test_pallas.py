@@ -218,16 +218,19 @@ def test_eye_level_selection():
 
     scales = jnp.asarray([1.35, 1.74, 2.23, 2.87, 1.0])  # ladder + native
     bw = jnp.asarray([40.0, 79.9, 120.0, 200.0, 1000.0])
-    lev = np.asarray(_eye_levels(scales, bw))
+    lev, no_cover = (np.asarray(a) for a in _eye_levels(scales, bw))
     assert lev[0] == 4        # needs s >= 0.5 -> native 1.0 is finest
     assert lev[1] == 4        # 79.9/80 < 1.0
     assert lev[2] == 1        # needs s >= 1.5 -> 1.74 (1.35 is too fine)
     assert scales[lev[2]] >= 120.0 / 80.0
     assert scales[lev[3]] >= 200.0 / 80.0
     assert lev[4] == 3        # nothing >= 12.5 -> coarsest (2.87)
-    # every selected level keeps the extent inside the 128-row tile
-    ext = bw * 1.28 / scales[lev]
-    assert np.all(np.asarray(ext)[:4] <= 112)
+    # coverage flag: only the gigantic box needs the XLA fallback
+    assert list(no_cover) == [False, False, False, False, True]
+    # every selected covered level keeps the extent inside the 128-row
+    # tile (|angle| <= 24.75 deg -> extent <= 1.327 * box_w)
+    ext = bw * 1.327 / scales[lev]
+    assert np.all(np.asarray(ext)[:4] <= 111)
 
 
 def test_crop_kernel_matches_dynamic_slice():
