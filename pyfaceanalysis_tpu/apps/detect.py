@@ -61,6 +61,8 @@ TPU-native extensions:
   --distributed=1             multi-host batch sweep over jax.distributed
   --coordinator=HOST:PORT --num_processes=N --process_id=K
   --profile_dir=DIR           write a jax.profiler (xplane) trace
+  --data_mesh=N               shard the window batch over N devices (ICI)
+  --batch_mode=fused|async    batch path: one fused program vs per-image
 """
 
 _LONG_OPTS = [
@@ -74,7 +76,7 @@ _LONG_OPTS = [
     "estimate_age_race_gender=", "image_prescaling=",
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
-    "profile_dir=",
+    "profile_dir=", "data_mesh=", "batch_mode=",
 ]
 
 
@@ -164,6 +166,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             process_id = int(a)
         elif o == "--profile_dir":
             profile_dir = a
+        elif o == "--data_mesh":
+            cfg_kw["data_mesh"] = int(a)
+        elif o == "--batch_mode":
+            cfg_kw["batch_mode"] = a
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):

@@ -162,6 +162,19 @@ class DetectorConfig:
     # into this many rows on device so only a tiny block crosses the
     # device->host link (the scarce resource on tunneled TPU setups).
     max_detections: int = 256
+    # Multi-chip data-parallel inference: shard the window batch of every
+    # detection program over a 1-D mesh of this many devices (0/1 = off).
+    # The jitted programs are unchanged -- XLA's SPMD partitioner splits
+    # the batch axis of every gather/GEMM; weights and images are
+    # replicated (SURVEY.md S2.4: "shard_map over ICI for the patch
+    # batch"). CLI: --data_mesh=N.
+    data_mesh: int = 0
+    # Batched detection (detect_batch): "fused" runs ONE cascade program
+    # over the windows of every image in the batch (B-fold wider per-stage
+    # GEMMs -- the MXU-utilization lever for serving); "async" dispatches
+    # one program per image back-to-back (lower peak memory; the pre-r3
+    # behavior).
+    batch_mode: str = "fused"
     # Mid-cascade compaction: after the first Disc stage (which kills ~90%
     # of windows) the batch is compacted on device to this many rows, so the
     # remaining extraction rounds and network executions run on a fraction

@@ -104,8 +104,29 @@ class CascadeState(NamedTuple):
     img_idx: Optional[jax.Array] = None
 
 
+def compacted_rows_per_image(plan: Tuple[StagePlan, ...],
+                             cfg: DetectorConfig, n_per_image: int) -> int:
+    """Rows per image that survive the mid-cascade compaction schedule --
+    the SINGLE source of truth for the rung targets, mirrored exactly by
+    ``run_cascade``'s in-loop logic (callers of the fused batch path need
+    the final per-image group size to slice the output)."""
+    n = n_per_image
+    seen1 = seen2 = False
+    for st in plan:
+        if st.kind != "Disc":
+            continue
+        if st.serial < 5 and not seen1 and cfg.mid_compact:
+            seen1 = True
+            n = min(n, cfg.mid_compact)
+        elif st.serial >= 5 and not seen2 and cfg.mid_compact2:
+            seen2 = True
+            n = min(n, cfg.mid_compact2)
+    return n
+
+
 @partial(jax.jit, static_argnames=("plan", "specs_tuple", "geom", "cfg",
-                                   "patch_hw", "collect_trace"))
+                                   "patch_hw", "collect_trace", "n_images",
+                                   "n_per_image"))
 def run_cascade(plan: Tuple[StagePlan, ...],
                 specs_tuple,                 # tuple of per-network spec tuples
                 geom: NetGeometry,
@@ -118,13 +139,26 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 pyramid=None,
                 crops=None,
                 pyr_scales=None,
-                collect_trace: bool = False):
+                collect_trace: bool = False,
+                n_images: int = 1,
+                n_per_image: int = 0):
     """Runs all detection stages on one padded patch batch. One jit per
     (plan, bucket, image shape).
 
     With ``collect_trace`` the per-stage (boxes, angles, mask, conf)
     snapshots are also returned -- the data behind the reference's per-stage
     debug plot matrix (face_analysis.py:673-981); see viz.plot_cascade_trace.
+
+    Fused multi-image mode (``n_images > 1``, requires ``state.img_idx``
+    and ``n_per_image`` = real grid rows per image): one cascade program
+    over the windows of ALL images -- per-stage GEMMs are B-fold wider, the
+    main MXU-utilization lever for the batch serving path (SURVEY.md S7).
+    ``image`` is a (B, H, W) stack; a supplied ``pyramid`` must be the
+    per-image pyramids concatenated along the level axis with ``crops``
+    levels pre-folded (level' = img * L + level), which keeps both Pallas
+    kernels unchanged. Mid-cascade compaction is per image (each image
+    keeps its own best ``mid_compact`` rows), preserving single-image
+    semantics; rows stay grouped contiguously by image afterwards.
     """
     trace = []
     cut_offs = cfg.resolved_cut_offs()
@@ -139,12 +173,16 @@ def run_cascade(plan: Tuple[StagePlan, ...],
     patches = None
     sl = None
     fired_rung1 = fired_rung2 = False
+    n_per_cur = n_per_image          # rows per image (fused mode only)
 
     # Refinement extraction via the Pallas pyramid-gather kernel: every
     # patch keeps reading its ORIGINAL grid level (scale drift is gated to
-    # 1.31x, so the box always fits the kernel's 128-texel tile).
+    # 1.31x, so the box always fits the kernel's 128-texel tile). In fused
+    # multi-image mode the caller pre-folds the image index into the crop
+    # levels (stacked pyramid), so the kernel path needs no img_idx test.
     levels = crops[:, 0] if crops is not None else None
-    if cfg.pallas_refine == "off" or pyramid is None or img_idx is not None:
+    if cfg.pallas_refine == "off" or pyramid is None or (
+            img_idx is not None and n_images <= 1):
         pallas_mode = None
     elif cfg.pallas_refine == "auto":
         pallas_mode = (False if jax.default_backend() == "tpu" else None)
@@ -219,9 +257,24 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                 target, fired_rung1 = cfg.mid_compact, True
             elif st.serial >= 5 and not fired_rung2 and cfg.mid_compact2:
                 target, fired_rung2 = cfg.mid_compact2, True
-            if (target and not collect_trace and target < mask.shape[0]):
-                rank = jnp.where(mask, conf, 2.0)
-                idx = jnp.argsort(rank)[: target]
+            fused = n_images > 1 and img_idx is not None
+            cur_rows = n_per_cur if fused else mask.shape[0]
+            if (target and not collect_trace and target < cur_rows):
+                rank = jnp.where(mask, jnp.clip(conf, 0.0, 1.999), 2.0)
+                if fused:
+                    # Per-image rung: rows are grouped contiguously by
+                    # image (n_per_cur each; padding carries the img_idx
+                    # sentinel n_images, sorting last), so one composite-
+                    # key sort yields each image's rows in a contiguous
+                    # sorted block of exactly n_per_cur entries.
+                    order = jnp.argsort(rank +
+                                        4.0 * img_idx.astype(jnp.float32))
+                    idx = jnp.concatenate(
+                        [order[b * n_per_cur: b * n_per_cur + target]
+                         for b in range(n_images)])
+                    n_per_cur = target
+                else:
+                    idx = jnp.argsort(rank)[: target]
                 boxes, angles, mask, conf = (boxes[idx], angles[idx],
                                              mask[idx], conf[idx])
                 orig_cx, orig_cy = orig_cx[idx], orig_cy[idx]
@@ -395,3 +448,63 @@ def make_grid_state(im_width: int, im_height: int, geom: NetGeometry,
         pyr = GridPyramidInfo(tuple(float(s) for s in samplings) + (1.0,),
                               (lh, lw), jnp.asarray(crops))
     return state, n_real, pyr
+
+
+def make_batched_grid_state(im_width: int, im_height: int, geom: NetGeometry,
+                            cfg: DetectorConfig, n_images: int
+                            ) -> Tuple[CascadeState, int,
+                                       Optional[GridPyramidInfo]]:
+    """Grid state for the FUSED multi-image cascade: the single-image grid
+    tiled ``n_images`` times (contiguous per-image blocks) with a per-row
+    image index, padded to a bucket. Padding rows carry the img_idx
+    SENTINEL ``n_images`` so per-image compaction sorts them last
+    (run_cascade fused mode).
+
+    Returns ``(state, n_real_per_image, pyr)`` where ``pyr.crops`` levels
+    are image-folded (level' = img * L + level) for the stacked pyramid
+    (per-image pyramids concatenated along the level axis) and
+    ``pyr.scales`` is the single-image ladder (callers tile it).
+    """
+    from pyfaceanalysis_tpu.config import bucket_size
+
+    state, n_real, pyr = make_grid_state(im_width, im_height, geom, cfg)
+    if n_real == 0 or n_images <= 1:
+        return state, n_real, pyr
+    total = bucket_size(n_images * n_real, cfg.bucket_sizes)
+
+    def tile_pad(a, fill):
+        a = np.asarray(a)[:n_real]
+        real = np.concatenate([a] * n_images, axis=0)
+        out = np.full((total,) + a.shape[1:], fill, a.dtype)
+        out[: len(real)] = real
+        return jnp.asarray(out)
+
+    img_idx = np.full(total, n_images, np.int32)
+    img_idx[: n_images * n_real] = np.repeat(
+        np.arange(n_images, dtype=np.int32), n_real)
+    mask = np.zeros(total, bool)
+    mask[: n_images * n_real] = True
+
+    batched = CascadeState(
+        boxes=tile_pad(state.boxes, 1.0),
+        angles=jnp.zeros(total, jnp.float32),
+        mask=jnp.asarray(mask),
+        conf=jnp.ones(total, jnp.float32),
+        orig_cx=tile_pad(state.orig_cx, 1.0),
+        orig_cy=tile_pad(state.orig_cy, 1.0),
+        max_dx=tile_pad(state.max_dx, 0.0),
+        max_dy=tile_pad(state.max_dy, 0.0),
+        base_side=tile_pad(state.base_side, 1.0),
+        img_idx=jnp.asarray(img_idx),
+    )
+    if pyr is None:
+        return batched, n_real, None
+    L = len(pyr.scales)
+    crops = np.asarray(pyr.crops)[:n_real]
+    folded = np.concatenate(
+        [crops + np.array([b * L, 0, 0], np.int32) for b in range(n_images)],
+        axis=0)
+    crops_p = np.zeros((total, 3), np.int32)
+    crops_p[: len(folded)] = folded
+    return batched, n_real, GridPyramidInfo(pyr.scales, pyr.level_hw,
+                                            jnp.asarray(crops_p))

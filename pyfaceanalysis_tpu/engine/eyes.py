@@ -54,11 +54,13 @@ def _eye_levels(scales: jax.Array, box_w: jax.Array
     return levels, no_cover
 
 
-@partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw"))
+@partial(jax.jit, static_argnames=("specs", "dim_x", "dim_y", "patch_hw",
+                                   "n_base_levels"))
 def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
                   image: jax.Array, net_params, clf_x, clf_y,
                   eye_boxes: jax.Array, angles: jax.Array,
-                  pyramid: jax.Array = None, pyr_scales: jax.Array = None
+                  pyramid: jax.Array = None, pyr_scales: jax.Array = None,
+                  image_idx: jax.Array = None, n_base_levels: int = 0
                   ) -> Tuple[jax.Array, jax.Array]:
     """One batched eye-localization pass.
 
@@ -70,6 +72,12 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
             level selection instead of the XLA image gather -- the gather
             was the single hottest op of the fused detect program (~15 ms
             for 512 eye patches from a 1000px canvas).
+        image_idx/n_base_levels: fused multi-image batch -- ``image`` is a
+            (B, H, W) stack, ``image_idx`` the per-box image, ``pyramid``
+            the stacked per-image pyramids (B * n_base_levels levels) with
+            ``pyr_scales`` the single-image ladder TILED B times; level
+            selection runs on the base ladder and is folded per box
+            (level' = img * n_base_levels + level).
 
     Returns:
         (new_boxes (B, 4), max_reg (B,) = max(|reg_x|, |reg_y|)).
@@ -85,7 +93,12 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
             sample_patches_pyramid,
         )
         bw = jnp.abs(eye_boxes[:, 2] - eye_boxes[:, 0]) + 1.0
-        levels, no_cover = _eye_levels(pyr_scales, bw)
+        if image_idx is not None and n_base_levels > 0:
+            base_scales = pyr_scales[:n_base_levels]
+            levels, no_cover = _eye_levels(base_scales, bw)
+            levels = levels + image_idx.astype(jnp.int32) * n_base_levels
+        else:
+            levels, no_cover = _eye_levels(pyr_scales, bw)
         patches = sample_patches_pyramid(pyramid, pyr_scales, levels,
                                          eye_boxes, angles, patch_hw,
                                          method="nearest")
@@ -98,11 +111,13 @@ def localize_eyes(specs, dim_x: int, dim_y: int, patch_hw: Tuple[int, int],
             lambda p: jnp.where(
                 no_cover[:, None, None],
                 extract_patches_rotate(image, eye_boxes, angles, patch_hw,
-                                       method="nearest"), p),
+                                       method="nearest",
+                                       image_idx=image_idx), p),
             lambda p: p, patches)
     else:
         patches = extract_patches_rotate(image, eye_boxes, angles, patch_hw,
-                                         method="nearest")
+                                         method="nearest",
+                                         image_idx=image_idx)
     flat = patches.reshape(patches.shape[0], -1)
     flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
     sl = apply_network(specs, net_params, flat)

@@ -338,3 +338,76 @@ class TestDetectEndToEnd:
         # now only eye refinement differs (which can shift NMS by a hair).
         assert n_small > cfg_small.eye_max_faces
         assert abs(n_small - n_big) <= 0.1 * n_big
+
+    def test_fused_batch_matches_async(self, loaded_model):
+        """batch_mode='fused' (one cascade program over all images) must
+        reproduce batch_mode='async' (one program per image), including
+        when the per-image compaction rungs fire."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        rng = np.random.RandomState(11)
+        images = [rng.rand(100, 120).astype(np.float32) for _ in range(3)]
+        base = DetectorConfig(smallest_face=0.4,
+                              bucket_sizes=(256, 1024, 4096),
+                              cut_offs_face=(1.01,) * 10,
+                              mid_compact=16, mid_compact2=8)
+        fused = FaceDetector(loaded_model, base).detect_batch(
+            images, estimate_attributes=False)
+        async_ = FaceDetector(
+            loaded_model,
+            dataclasses.replace(base, batch_mode="async")).detect_batch(
+            images, estimate_attributes=False)
+        assert [len(f) for f in fused] == [len(a) for a in async_]
+        for fs, as_ in zip(fused, async_):
+            for df, da in zip(fs, as_):
+                np.testing.assert_allclose(df.box, da.box, rtol=1e-4,
+                                           atol=1e-3)
+                np.testing.assert_allclose(df.eye_left, da.eye_left,
+                                           rtol=1e-4, atol=1e-3)
+
+    def test_data_mesh_detection_matches_single_device(self, loaded_model):
+        """--data_mesh=8: full detection (not just the raw cascade) through
+        an 8-virtual-device mesh equals the single-device result
+        (VERDICT r2 next-step #9; SURVEY.md S2.4)."""
+        import jax
+
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        base = DetectorConfig(smallest_face=0.4,
+                              bucket_sizes=(256, 1024, 4096),
+                              cut_offs_face=(1.01,) * 10)
+        image = np.random.RandomState(13).rand(120, 140).astype(np.float32)
+        plain = FaceDetector(loaded_model, base).detect(
+            image, estimate_attributes=False)
+        meshed = FaceDetector(
+            loaded_model,
+            dataclasses.replace(base, data_mesh=8)).detect(
+            image, estimate_attributes=False)
+        assert len(meshed) == len(plain) > 0
+        for a, b in zip(meshed, plain):
+            np.testing.assert_allclose(a.box, b.box, rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(a.eye_left, b.eye_left,
+                                       rtol=1e-4, atol=1e-3)
+
+    def test_data_mesh_fused_batch_matches_single_device(self, loaded_model):
+        import jax
+
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+        base = DetectorConfig(smallest_face=0.4,
+                              bucket_sizes=(256, 1024, 4096),
+                              cut_offs_face=(1.01,) * 10)
+        rng = np.random.RandomState(17)
+        images = [rng.rand(100, 120).astype(np.float32) for _ in range(2)]
+        plain = FaceDetector(loaded_model, base).detect_batch(
+            images, estimate_attributes=False)
+        meshed = FaceDetector(
+            loaded_model,
+            dataclasses.replace(base, data_mesh=8)).detect_batch(
+            images, estimate_attributes=False)
+        for fs, as_ in zip(meshed, plain):
+            assert len(fs) == len(as_)
+            for df, da in zip(fs, as_):
+                np.testing.assert_allclose(df.box, da.box, rtol=1e-4,
+                                           atol=1e-3)
