@@ -199,6 +199,52 @@ def _device_profile(detector, image, runs: int = 10):
     return dt, n_real, bytes_pushed
 
 
+def _device_profile_fused(detector, image, batch: int = 16, runs: int = 3):
+    """Device seconds/image of the FUSED multi-image program (one cascade
+    over batch x windows; engine._detect_core_batch) -- the VERDICT r2
+    weak-#6 lever: per-stage GEMMs B-fold taller for the same FLOPs."""
+    import jax.numpy as jnp
+
+    from pyfaceanalysis_tpu.engine import cascade as cascade_mod
+    from pyfaceanalysis_tpu.engine import detector as detector_mod
+
+    cfg, model = detector.config, detector.model
+    geom = model.spec.face_geom
+    device_image = detector._to_canvas(image)
+    state_b, n_real, pyr_b = cascade_mod.make_batched_grid_state(
+        image.shape[1], image.shape[0], geom, cfg, batch)
+    use_pyr = (pyr_b is not None and
+               cfg.interpolation_formats[model.plan[0].serial] == "nearest")
+    eye_net = model.nets["net_eye"]
+    device_images = [device_image] * batch
+    stack = jnp.stack(device_images)
+    pyramid_b = crops_b = scales_b = None
+    n_levels = 0
+    if use_pyr:
+        from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
+        n_levels = len(pyr_b.scales)
+        one = build_pyramid(device_image, pyr_b.scales, pyr_b.level_hw)
+        pyramid_b = jnp.concatenate([one] * batch, axis=0)
+        crops_b = pyr_b.crops
+        scales_b = jnp.asarray(pyr_b.scales * batch, jnp.float32)
+
+    def call():
+        return detector_mod._detect_core_batch(
+            model.plan, model.det_specs, geom, model.spec.eye_geom, cfg,
+            eye_net.specs, model.clf_input_dim("EyeLX"),
+            model.clf_input_dim("EyeLY"), cfg.max_detections, batch,
+            n_real, n_levels, stack, model.det_params, model.det_clfs,
+            tuple(eye_net.params), model.classifier("EyeLX"),
+            model.classifier("EyeLY"), state_b, pyramid_b, crops_b,
+            scales_b)
+
+    call().block_until_ready()            # warm / compile
+    t0 = time.time()
+    outs = [call() for _ in range(runs)]
+    outs[-1].block_until_ready()
+    return (time.time() - t0) / runs / batch
+
+
 def _probe_backend(seconds: int) -> bool:
     """One killable-subprocess liveness probe of the TPU backend. A dead
     axon relay blocks the first device op forever IN C CODE (Python signal
@@ -282,6 +328,7 @@ def main() -> int:
 
     # Device-only profile + compute-intensity accounting.
     dev_dt, n_real, bytes_pushed = _device_profile(detector, image)
+    dev_dt_fused = _device_profile_fused(detector, image)
     flops_w = _flops_per_window(model)
     # Two-rung mid-cascade compaction (engine/cascade.py): stage 0 runs on
     # the full grid, stages 1-10 on <= mid_compact rows, stages 11-16 on
@@ -312,6 +359,9 @@ def main() -> int:
             # device-only numbers (dispatch-pipelined, image pre-pushed):
             "device_seconds_per_image": round(dev_dt, 4),
             "device_windows_per_sec": round(n_real / dev_dt, 1),
+            "device_seconds_per_image_fused_b16": round(dev_dt_fused, 4),
+            "device_windows_per_sec_fused_b16": round(
+                n_real / dev_dt_fused, 1),
             "bytes_pushed_per_image": int(bytes_pushed),
             "flops_per_window": int(flops_w),
             "achieved_tflops": round(achieved_tflops, 4),

@@ -511,12 +511,15 @@ class FaceDetector:
                      estimate_attributes: bool = True) -> List[List[Detection]]:
         """Detects faces in MANY same-sized grayscale images at once.
 
-        The grid/state is identical for same-sized inputs, so the per-image
-        device programs are dispatched back-to-back ASYNCHRONOUSLY (jax
-        dispatch is non-blocking) and the result blocks are pulled
-        afterwards -- host work, transfers and device compute overlap
-        instead of serializing per image. Images of differing sizes fall
-        back to sequential detect().
+        cfg.batch_mode selects the device strategy:
+        - "fused" (default): ONE cascade program over every image's
+          windows (_detect_core_batch) -- per-stage GEMMs are B-fold
+          taller for the same FLOPs, the MXU-utilization lever for batch
+          serving; one (B, k, 11) result pull.
+        - "async": one program per image, dispatched back-to-back (jax
+          dispatch is non-blocking), results pulled afterwards -- lower
+          peak device memory.
+        Images of differing sizes fall back to sequential detect().
         """
         if len(images) == 0:
             return []
