@@ -234,7 +234,10 @@ def run_cascade(plan: Tuple[StagePlan, ...],
                     patches * 255.0, 137.5, 0.40 * 255.0) / 255.0
         if st.net_idx >= 0:
             sl = apply_network(specs_tuple[st.net_idx],
-                               net_params[st.net_idx], patches)
+                               net_params[st.net_idx], patches,
+                               compute_dtype=(jnp.bfloat16
+                                              if cfg.matmul_dtype == "bf16"
+                                              else None))
         clf = clf_params[st.clf_idx]
         reg = clf.regression(sl[:, :st.input_dim])
 

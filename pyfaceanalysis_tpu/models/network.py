@@ -88,19 +88,25 @@ class HierarchicalNetwork:
         return self.execute(x)
 
 
-def apply_layer(spec: LayerSpec, node: LinearNode, x: jax.Array) -> jax.Array:
+def apply_layer(spec: LayerSpec, node: LinearNode, x: jax.Array,
+                compute_dtype=None) -> jax.Array:
     """(B, P) flat -> (B, F * out_dim) flat."""
     idx = jnp.asarray(spec.indices_array())
     fields = jnp.take(x, idx, axis=1)            # (B, F, k)
     expanded = spec.expansion(fields)            # (B, F, k_exp)
-    y = node(expanded)                           # (B, F, d)
+    y = node(expanded, compute_dtype=compute_dtype)  # (B, F, d)
     if spec.clip is not None:
         y = jnp.clip(y, -spec.clip, spec.clip)
     return y.reshape(y.shape[0], -1)
 
 
 def apply_network(specs: Sequence[LayerSpec], params: Sequence[LinearNode],
-                  x: jax.Array) -> jax.Array:
+                  x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Runs all layers. ``compute_dtype=jnp.bfloat16`` casts the GEMM
+    OPERANDS only (accumulation stays f32 via preferred_element_type) --
+    the v5e MXU's bf16 path peaks at 4x the f32 rate; expansions, clipping
+    and the regression heads stay f32. Opt-in (DetectorConfig.matmul_dtype)
+    until the quality gate passes on hardware."""
     for spec, node in zip(specs, params):
-        x = apply_layer(spec, node, x)
+        x = apply_layer(spec, node, x, compute_dtype=compute_dtype)
     return x

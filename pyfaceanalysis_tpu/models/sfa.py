@@ -49,12 +49,26 @@ class LinearNode(NamedTuple):
     def out_dim(self) -> int:
         return self.W.shape[-1]
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """(B, F, D) -> (B, F, O) (or (B, D) -> (B, O) when F == 1)."""
+    def __call__(self, x: jax.Array, compute_dtype=None) -> jax.Array:
+        """(B, F, D) -> (B, F, O) (or (B, D) -> (B, O) when F == 1).
+
+        ``compute_dtype=jnp.bfloat16`` feeds the MXU its fast path: the
+        centered input and W are cast for the einsum only; accumulation
+        stays f32 (preferred_element_type)."""
         squeeze = x.ndim == 2
         if squeeze:
             x = x[:, None, :]
-        y = jnp.einsum("bfd,fdo->bfo", x - self.mean[None], self.W,
+        xc = x - self.mean[None]
+        W = self.W
+        if compute_dtype is not None:
+            xc = xc.astype(compute_dtype)
+            W = W.astype(compute_dtype)
+            if jax.default_backend() != "tpu":
+                # CPU lacks the BF16xBF16=F32 dot thunk; upcasting after
+                # the rounding keeps identical numerics for tests.
+                xc = xc.astype(jnp.float32)
+                W = W.astype(jnp.float32)
+        y = jnp.einsum("bfd,fdo->bfo", xc, W,
                        preferred_element_type=jnp.float32)
         return y[:, 0, :] if squeeze else y
 

@@ -163,3 +163,25 @@ class TestNetworks:
         net = builder.build_pca_net(96)
         assert net.specs[0].field_size == 36
         assert net.out_dim == 20
+
+
+def test_bf16_compute_path_close_to_f32():
+    """matmul_dtype='bf16' casts GEMM operands only (f32 accumulation):
+    outputs must track f32 within bf16 rounding for a realistic network."""
+    import jax.numpy as jnp
+
+    from pyfaceanalysis_tpu.models import builder
+    from pyfaceanalysis_tpu.models.init import random_network_params
+    from pyfaceanalysis_tpu.models.network import apply_network
+
+    net = random_network_params(builder.build_higsfa(32, d=6, top_dim=20),
+                                seed=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(16, 32 * 32),
+                    jnp.float32)
+    y32 = np.asarray(apply_network(net.specs, net.params, x))
+    y16 = np.asarray(apply_network(net.specs, net.params, x,
+                                   compute_dtype=jnp.bfloat16))
+    # bf16 has ~8 mantissa bits; layered error stays small thanks to the
+    # per-layer clip and f32 accumulation.
+    assert np.max(np.abs(y16 - y32)) < 0.15
+    assert np.corrcoef(y16.ravel(), y32.ravel())[0, 1] > 0.999
