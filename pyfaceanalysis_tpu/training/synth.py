@@ -217,7 +217,15 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     eye_u_r = proj_u(EYE_X + jit[0], EYE_Y)
     mouth_u = proj_u(0.0 + jit[3], MOUTH_Y)
     mouth_v = MOUTH_Y + jit[4]
-    eye_w = 0.055 * (1.0 + 0.15 * jax.random.normal(kfeat[1], ()))
+    # Continuous age coordinate in [0, 1] over the 16-58y label range:
+    # structural aging cues below must GROW with it smoothly -- real
+    # wrinkles/sag don't switch on at the range midpoint (renderer v3;
+    # the v2 clip(a_norm, 0, 1) gating left ages 16-37 with nothing but
+    # confounded contrast cues, feature-ceiling MAE 6.3y).
+    age01 = jnp.clip((age - 16.0) / 42.0, 0.0, 1.0)
+    # Female eyes render slightly larger (real photogrammetric cue).
+    eye_w = 0.055 * (1.0 + 0.15 * jax.random.normal(kfeat[1], ())
+                     + 0.08 * (gender > 0))
 
     def blob(du, dv, su, sv):
         return jnp.exp(-((u - du) / su) ** 2 - ((v - dv) / sv) ** 2)
@@ -226,19 +234,29 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     # Eyes: bright sclera band, dark iris, darker pupil, lid shadow above.
     iris_r = 0.024 * (1.0 + 0.2 * jax.random.normal(kfeat[2], ()))
     eye_dark = 0.55 + 0.10 * jax.random.normal(kfeat[3], ())
+    # Lid shadow deepens and the under-eye bag darkens with age (both
+    # amplitude-jittered so neither pins the age alone).
+    lid_amp = 0.14 + 0.10 * age01 * jnp.exp(
+        0.30 * jax.random.normal(kfeat[7], ()))
+    bag_amp = 0.11 * age01 * jnp.exp(0.30 * jax.random.normal(kfeat[8], ()))
     for eu, ev in ((eye_u_l, eye_y_l), (eye_u_r, eye_y_r)):
         sclera = blob(eu, ev, eye_w, 0.024)
         iris = blob(eu, ev, iris_r, iris_r)
         pupil = blob(eu, ev, iris_r * 0.45, iris_r * 0.45)
         lid = blob(eu, ev - 0.030, eye_w * 1.15, 0.012)
+        bag = blob(eu, ev + 0.048, eye_w * 1.05, 0.017)
         feats = (feats + 0.22 * sclera - eye_dark * iris - 0.25 * pupil
-                 - 0.18 * lid)
+                 - lid_amp * lid - bag_amp * bag)
     # Brows: thicker/darker for male, slight angle jitter.
     brow_h = 0.014 + 0.012 * (gender < 0)
     brow_d = 0.22 + 0.12 * (gender < 0)
     brow_t = 0.025 * jax.random.normal(kfeat[4], ())
+    # Female brows sit measurably higher above the eye (strong 96x96-visible
+    # gender geometry); jittered so it stays a soft cue.
+    brow_lift = (0.014 * (gender > 0)
+                 + 0.006 * jax.random.normal(kfeat[9], ()))
     for eu, sgn in ((eye_u_l, -1.0), (eye_u_r, 1.0)):
-        bv = EYE_Y - 0.085 + brow_t * sgn * (u - eu) / 0.09
+        bv = EYE_Y - 0.085 - brow_lift + brow_t * sgn * (u - eu) / 0.09
         feats = feats - brow_d * jnp.exp(
             -((u - eu) / 0.085) ** 2 - ((v - bv) / brow_h) ** 2)
     # Nose: bridge highlight, side shadow (away from light), nostrils.
@@ -279,7 +297,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     # folds -- not just texture amplitude (which is confounded with the
     # random skin texture): this is what makes age learnable from 96x96
     # patches. Amplitudes jittered so no single cue pins the age exactly.
-    age_w = jnp.clip(a_norm, 0.0, 1.0) * jnp.exp(
+    age_w = age01 ** 1.6 * jnp.exp(
         0.35 * jax.random.normal(ks[17], ()))
     # Line period ~0.16 face units =~ 11 px in the decimated 96x96 age
     # patch (a 110-rad/unit frequency aliased out entirely).
@@ -295,9 +313,15 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
         band = (jax.nn.sigmoid((v - 0.00) / 0.02)
                 * jax.nn.sigmoid((0.16 - v) / 0.03))
         naso = naso + jnp.exp(-(d / 0.013) ** 2) * band
+    # Jowl/cheek sag: soft shadows at the lower-face corners, growing with
+    # the same continuous age weight.
+    jowl = jnp.zeros_like(u)
+    for sgn in (-1.0, 1.0):
+        jowl = jowl + blob(sgn * 0.21, 0.27, 0.05, 0.055)
     feats = feats - age_w * (0.11 * forehead * lines
                              + 0.10 * crow * lines
-                             + 0.09 * naso)
+                             + 0.09 * naso
+                             + 0.07 * jowl)
 
     # --- facial hair (some males): darken jaw/lip region --------------------
     kbeard = jax.random.split(ks[10], 3)
@@ -318,10 +342,15 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     khair = jax.random.split(ks[11], 5)
     has_hair = jax.random.uniform(khair[0], ()) > 0.15
     hairline = jax.random.uniform(khair[1], (), minval=-0.42, maxval=-0.22)
+    # Male-pattern hairline recession: the hairline retreats upward with
+    # age (male only, extent jittered) -- a joint age+gender cue.
+    hairline = hairline - (0.12 * age01 * (gender < 0)
+                           * jax.random.uniform(ks[20], (),
+                                                minval=0.3, maxval=1.0))
     hair_tone = jax.random.uniform(khair[2], (), minval=0.04, maxval=0.45)
-    # Gray hair with age (strong real-world cue): onset ~50, extent
-    # jittered so hair tone alone cannot pin the age.
-    gray = (jax.nn.sigmoid((age - 52.0) / 4.0)
+    # Gray hair with age (strong real-world cue): gradual onset from the
+    # mid-40s, extent jittered so hair tone alone cannot pin the age.
+    gray = (jax.nn.sigmoid((age - 47.0) / 5.0)
             * jax.random.uniform(ks[18], (), minval=0.4, maxval=1.0))
     hair_tone = hair_tone + gray * (0.78 - hair_tone)
     hair_tex = _value_noise(khair[3], (H, W), grids=(12, 48),
@@ -401,7 +430,9 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     # torso, then neck, then head on top
     body = jnp.clip(shoulders - head, 0.0, 1.0)
     img = img * (1.0 - body) + cloth * body
-    neck = (jnp.exp(-(jnp.abs(u) / 0.14) ** 3)
+    # Male necks render visibly wider (gender geometry cue at 96x96).
+    neck_w = 0.14 * (1.0 + 0.20 * (gender < 0))
+    neck = (jnp.exp(-(jnp.abs(u) / neck_w) ** 3)
             * jax.nn.sigmoid((v - 0.38) / 0.04)
             * jax.nn.sigmoid((sh_y + 0.12 - v) / 0.05) * (1.0 - head))
     neck_tone = tone * 0.86 * shade      # chin shadow
