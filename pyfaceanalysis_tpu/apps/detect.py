@@ -63,6 +63,8 @@ TPU-native extensions:
   --profile_dir=DIR           write a jax.profiler (xplane) trace
   --data_mesh=N               shard the window batch over N devices (ICI)
   --batch_mode=fused|async    batch path: one fused program vs per-image
+  --arg_tta=K                 average the age/race/gender heads over K
+                              jittered crops per face (default 1)
 """
 
 _LONG_OPTS = [
@@ -76,7 +78,7 @@ _LONG_OPTS = [
     "estimate_age_race_gender=", "image_prescaling=",
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
-    "profile_dir=", "data_mesh=", "batch_mode=",
+    "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=",
 ]
 
 
@@ -170,6 +172,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg_kw["data_mesh"] = int(a)
         elif o == "--batch_mode":
             cfg_kw["batch_mode"] = a
+        elif o == "--arg_tta":
+            cfg_kw["arg_tta"] = int(a)
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):

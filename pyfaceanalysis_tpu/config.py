@@ -115,6 +115,13 @@ class DetectorConfig:
     # ~90% padding.
     eye_max_faces: int = 64
 
+    # Crops averaged per face by the age/race/gender heads (TPU extension,
+    # not in the reference: engine/heads.py _tta_offsets). 1 = the
+    # reference's single Z-frame crop; K>1 runs K jittered crops through
+    # the same batched GEMMs and posterior-averages, trading ~K x the
+    # (tiny) head FLOPs for robustness to eye-localization jitter.
+    arg_tta: int = 1
+
     # Save the 96x96 age-head input patches (the reference writes
     # ImageForAgeEstimation%03d.jpg unconditionally, face_analysis.py:1251;
     # here opt-in).

@@ -488,7 +488,7 @@ class FaceDetector:
         if estimate_attributes and (cfg.estimate_age or cfg.estimate_race or
                                     cfg.estimate_gender):
             ages, stds, races, genders = heads_mod.estimate_age_race_gender(
-                device_image, purged, model)
+                device_image, purged, model, tta=cfg.arg_tta)
             if cfg.save_age_estimation_images:
                 self._age_image_index = heads_mod.save_age_estimation_images(
                     device_image, purged,
@@ -625,7 +625,7 @@ class FaceDetector:
             stack = jnp.stack(device_images)
             ages, stds, races, genders = \
                 heads_mod.estimate_age_race_gender_multi(
-                    stack, all_rows, img_idx, model)
+                    stack, all_rows, img_idx, model, tta=cfg.arg_tta)
 
         out: List[List[Detection]] = []
         offset = 0

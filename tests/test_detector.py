@@ -262,6 +262,29 @@ class TestDetectEndToEnd:
                 np.testing.assert_allclose(db.box, ds.box, rtol=1e-4,
                                            atol=1e-3)
 
+    def test_arg_tta_k1_matches_baseline_and_k5_is_sane(self, loaded_model):
+        """tta=1 must be bit-identical to the single-crop head path
+        (zero offsets); tta=5 must keep detection geometry untouched and
+        return finite averaged attributes."""
+        from pyfaceanalysis_tpu.engine import heads as heads_mod
+        rows = np.array([
+            [20.0, 20.0, 84.0, 84.0, 0.0, 38.0, 44.0, 66.0, 44.0, 0.9],
+            [10.0, 15.0, 74.0, 79.0, 5.0, 28.0, 40.0, 55.0, 38.0, 0.8],
+        ])
+        image = np.random.RandomState(7).rand(120, 140).astype(np.float32)
+        base = heads_mod.estimate_age_race_gender(image, rows, loaded_model)
+        k1 = heads_mod.estimate_age_race_gender(image, rows, loaded_model,
+                                                tta=1)
+        for a, b in zip(base, k1):
+            np.testing.assert_array_equal(a, b)
+        k5 = heads_mod.estimate_age_race_gender(image, rows, loaded_model,
+                                                tta=5)
+        for arr in k5:
+            assert arr.shape == (2,)
+            assert np.isfinite(arr).all()
+        # averaged age stays inside the head's label range
+        assert (k5[0] >= 16.0).all() and (k5[0] <= 58.0).all()
+
     def test_tracking_state_machine(self, loaded_model):
         """track_single_face: after a hit, the next frame scans a narrowed
         grid around the last face (FaceDetectUpdated.py:1189-1195,

@@ -55,6 +55,8 @@ def main(argv=None) -> int:
     p.add_argument("--eye_tol", type=float, default=-1.0,
                    help="override tolerance_xy_eye (-1 = model default)")
     p.add_argument("--pos_gain", type=float, default=-1.0)
+    p.add_argument("--arg_tta", type=int, default=1,
+                   help="crops averaged per face by the attribute heads")
     p.add_argument("--chunk", type=int, default=16,
                    help="images per fused detect_batch dispatch")
     p.add_argument("--json", default=None,
@@ -71,7 +73,7 @@ def main(argv=None) -> int:
     model = DetectionModel.load(args.pipeline_dir)
     cfg = DetectorConfig(smallest_face=args.smallest_face,
                          tolerance_xy_eye=args.eye_tol,
-                         pos_gain=args.pos_gain)
+                         pos_gain=args.pos_gain, arg_tta=args.arg_tta)
     det = FaceDetector(model, cfg)
 
     rng = np.random.RandomState(args.seed)
