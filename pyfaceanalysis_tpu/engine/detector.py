@@ -143,6 +143,19 @@ class DetectionModel:
 from functools import partial
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def _pad_convert(u8: jax.Array, H: int, W: int) -> jax.Array:
+    """Device-side canvas pad + uint8 -> [0, 1] float32 conversion.
+
+    The host ships only the true image extent as uint8 (1 byte/px); the
+    zero canvas padding and the float conversion happen on device, so
+    neither ever crosses the (tunneled) wire. Accepts (h, w) or
+    (B, h, w); pads the trailing two dims up to (H, W)."""
+    h, w = u8.shape[-2], u8.shape[-1]
+    pad = [(0, 0)] * (u8.ndim - 2) + [(0, H - h), (0, W - w)]
+    return jnp.pad(u8, pad).astype(jnp.float32) / 255.0
+
+
 @partial(jax.jit, static_argnames=("plan", "det_specs", "geom", "eye_geom",
                                    "cfg", "eye_specs", "dim_x", "dim_y",
                                    "k_out"))
@@ -367,8 +380,34 @@ class FaceDetector:
         # Fixed device canvas: one compile serves all image sizes.
         side = config.prescale_size if config.image_prescaling else 2048
         self._canvas_hw = (side, side)
+        # Grid state is a pure function of (image size, batch) for a fixed
+        # config -- rebuilding it cost ~18 ms/image of host numpy + device
+        # pushes per detect_batch call (measured round 3). Tracking-mode
+        # grids depend on the last detection and bypass the cache.
+        self._grid_cache: dict = {}
 
     # -- image preparation ---------------------------------------------------
+
+    def _grid_state(self, im_w: int, im_h: int, batch: int = 0):
+        """Cached (state, n_real, pyr) for a non-tracking grid.
+
+        ``batch=0`` -> make_grid_state; ``batch=B`` -> the fused
+        make_batched_grid_state. CascadeState is an immutable pytree and
+        the cascade never writes through it, so reuse across calls is
+        safe; tracking-mode grids (which depend on the last detection)
+        must NOT go through here."""
+        geom = self.model.spec.face_geom
+        key = (im_w, im_h, batch)
+        hit = self._grid_cache.get(key)
+        if hit is None:
+            if batch:
+                hit = cascade_mod.make_batched_grid_state(
+                    im_w, im_h, geom, self.config, batch)
+            else:
+                hit = cascade_mod.make_grid_state(im_w, im_h, geom,
+                                                  self.config)
+            self._grid_cache[key] = hit
+        return hit
 
     def prescale_factor(self, w: int, h: int) -> float:
         """Reference prescaling: max side <= prescale_size
@@ -393,11 +432,27 @@ class FaceDetector:
                   "(new compilation)")
             self._canvas_hw = (side, side)
             H = W = side
-        canvas = np.zeros((H, W), np.uint8)
         h, w = image.shape
-        canvas[:h, :w] = np.clip(np.asarray(image) * 255.0,
-                                 0, 255).astype(np.uint8)
-        return jnp.asarray(canvas).astype(jnp.float32) / 255.0
+        u8 = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+        # Ship only the true image extent (the canvas padding is zeros --
+        # producing it on device saves up to 25% of the wire bytes on
+        # tunneled links) and pad/convert on device.
+        return _pad_convert(jnp.asarray(u8), H, W)
+
+    def _to_canvas_batch(self, images: Sequence[np.ndarray]) -> jax.Array:
+        """(B, h, w) same-sized images -> (B, H, W) float canvas stack.
+
+        ONE host->device transfer for the whole batch (vs B pushes + B
+        converts + an on-device stack): per-transfer dispatch overhead on
+        a tunneled link is milliseconds, and the canvas padding never
+        crosses the wire."""
+        h, w = images[0].shape
+        H, W = self._canvas_hw
+        if h > H or w > W:     # grow path: reuse the single-image logic
+            return jnp.stack([self._to_canvas(im) for im in images])
+        u8 = np.stack([np.clip(np.asarray(im) * 255.0, 0, 255)
+                       .astype(np.uint8) for im in images])
+        return _pad_convert(jnp.asarray(u8), H, W)
 
     def _apply_mesh(self, state, crops, *replicated):
         """Shards the window batch over the data mesh; replicates the rest.
@@ -432,8 +487,11 @@ class FaceDetector:
 
         track = self.tracked_face if (cfg.track_single_face and
                                       self.face_has_been_found) else None
-        state, n_real, pyr = cascade_mod.make_grid_state(im_w, im_h, geom,
-                                                         cfg, track)
+        if track is None:
+            state, n_real, pyr = self._grid_state(im_w, im_h)
+        else:
+            state, n_real, pyr = cascade_mod.make_grid_state(im_w, im_h,
+                                                             geom, cfg, track)
         self.windows_scanned = n_real
         if n_real == 0:
             return []
@@ -532,8 +590,7 @@ class FaceDetector:
         model = self.model
         geom = model.spec.face_geom
         im_h, im_w = shape0
-        state, n_real, pyr = cascade_mod.make_grid_state(im_w, im_h, geom,
-                                                         cfg)
+        state, n_real, pyr = self._grid_state(im_w, im_h)
         self.windows_scanned = n_real
         if n_real == 0:
             return [[] for _ in images]
@@ -553,19 +610,17 @@ class FaceDetector:
             # with a per-row image index; the pyramid is stacked along the
             # level axis with image-folded crop levels.
             B = len(images)
-            state_b, n_real, pyr_b = cascade_mod.make_batched_grid_state(
-                im_w, im_h, geom, cfg, B)
+            state_b, n_real, pyr_b = self._grid_state(im_w, im_h, batch=B)
             use_pyr_b = (use_pyr and pyr_b is not None)
-            device_images = [self._to_canvas(im) for im in images]
-            stack = jnp.stack(device_images)
+            stack = self._to_canvas_batch(images)
+            device_images = stack          # (B, H, W); sliced where needed
             pyramid_b = crops_b = scales_b = None
             n_levels = 0
             if use_pyr_b:
-                from pyfaceanalysis_tpu.ops.pyramid import build_pyramid
+                from pyfaceanalysis_tpu.ops.pyramid import build_pyramid_batch
                 n_levels = len(pyr_b.scales)
-                pyramid_b = jnp.concatenate(
-                    [build_pyramid(c, pyr_b.scales, pyr_b.level_hw)
-                     for c in device_images], axis=0)
+                pyramid_b = build_pyramid_batch(stack, pyr_b.scales,
+                                                pyr_b.level_hw)
                 crops_b = pyr_b.crops
                 scales_b = jnp.asarray(pyr_b.scales * B, jnp.float32)
             if self._mesh is not None:
@@ -622,7 +677,8 @@ class FaceDetector:
                 [p for p in purged_per_image if len(p)], axis=0)
             img_idx = np.concatenate(
                 [np.full(c, i, np.int32) for i, c in enumerate(counts)])
-            stack = jnp.stack(device_images)
+            stack = (device_images if isinstance(device_images, jax.Array)
+                     else jnp.stack(device_images))
             ages, stds, races, genders = \
                 heads_mod.estimate_age_race_gender_multi(
                     stack, all_rows, img_idx, model, tta=cfg.arg_tta)

@@ -62,6 +62,23 @@ def build_pyramid(image: jax.Array, scales: Tuple[float, ...],
     return jnp.stack(levels)
 
 
+@partial(jax.jit, static_argnames=("scales", "level_hw"))
+def build_pyramid_batch(images: jax.Array, scales: Tuple[float, ...],
+                        level_hw: Tuple[int, int]) -> jax.Array:
+    """(B, H, W) image stack -> (B*L, lh, lw) image-major stacked pyramid.
+
+    Image b's levels occupy rows [b*L, (b+1)*L) -- the layout the fused
+    multi-image cascade's folded crop levels index
+    (engine.cascade.make_batched_grid_state). One program for the whole
+    batch: on a tunneled device link, B separate build_pyramid dispatches
+    cost milliseconds of round-trips each; this is one."""
+    B = images.shape[0]
+    L = len(scales)
+    lh, lw = level_hw
+    stacked = jax.vmap(lambda im: build_pyramid(im, scales, level_hw))(images)
+    return stacked.reshape(B * L, lh, lw)
+
+
 @partial(jax.jit, static_argnames=("patch_hw",))
 def crop_patches(pyramid: jax.Array, crops: jax.Array,
                  patch_hw: Tuple[int, int] = (64, 64)) -> jax.Array:

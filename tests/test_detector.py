@@ -434,3 +434,24 @@ class TestDetectEndToEnd:
             for df, da in zip(fs, as_):
                 np.testing.assert_allclose(df.box, da.box, rtol=1e-4,
                                            atol=1e-3)
+
+
+def test_pad_convert_matches_host_canvas():
+    """Device-side pad+convert must equal the old host-side canvas build
+    (zeros padding, uint8 quantized, [0, 1] float), for single images and
+    stacked batches."""
+    import jax.numpy as jnp
+    from pyfaceanalysis_tpu.engine.detector import _pad_convert
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(37, 53).astype(np.float32)
+    u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    ref = np.zeros((64, 128), np.float32)
+    ref[:37, :53] = u8.astype(np.float32) / 255.0
+    got = np.asarray(_pad_convert(jnp.asarray(u8), 64, 128))
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+
+    batch = np.stack([u8, u8[::-1]])
+    got_b = np.asarray(_pad_convert(jnp.asarray(batch), 64, 128))
+    assert got_b.shape == (2, 64, 128)
+    np.testing.assert_allclose(got_b[0], ref, atol=1e-7)

@@ -6,7 +6,9 @@ import jax.numpy as jnp
 from pyfaceanalysis_tpu.config import DetectorConfig, NetGeometry
 from pyfaceanalysis_tpu.engine import cascade as cascade_mod
 from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
-from pyfaceanalysis_tpu.ops.pyramid import build_pyramid, crop_patches
+from pyfaceanalysis_tpu.ops.pyramid import (build_pyramid,
+                                            build_pyramid_batch,
+                                            crop_patches)
 
 
 def test_level0_scale1_is_identity():
@@ -32,6 +34,20 @@ def test_crop_matches_gather_extraction():
     got = np.asarray(crop_patches(pyr, jnp.asarray([[1, ly, lx]], jnp.int32),
                                   (64, 64)))[0]
     assert (got == ref).mean() > 0.99    # identical up to rounding ties
+
+
+def test_batched_pyramid_matches_per_image_concat():
+    """build_pyramid_batch must reproduce the image-major concatenation of
+    per-image pyramids (the layout the fused cascade's folded crop levels
+    index)."""
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.rand(3, 96, 112).astype(np.float32))
+    scales = (1.0, 1.5, 2.25)
+    hw = (128, 128)
+    ref = jnp.concatenate([build_pyramid(imgs[i], scales, hw)
+                           for i in range(3)], axis=0)
+    got = build_pyramid_batch(imgs, scales, hw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_grid_state_crops_consistent_with_boxes():
