@@ -326,6 +326,18 @@ def main() -> int:
     dt_b = (time.time() - t0) / TIMED_RUNS / len(batch)
     wps_batched = n_windows / dt_b
 
+    # Streamed serving (detect_stream): batch i+1's host->device image
+    # push overlaps batch i's cascade. Over the tunnel the push costs
+    # ~2x the device compute (round-3 profile), so this is the
+    # steady-state production serving number.
+    n_stream = max(4, TIMED_RUNS)
+    list(detector.detect_stream([batch, batch]))       # warmup
+    t0 = time.time()
+    for _ in detector.detect_stream([batch] * n_stream):
+        pass
+    dt_s = (time.time() - t0) / (n_stream * len(batch))
+    wps_stream = n_windows / dt_s
+
     # Device-only profile + compute-intensity accounting.
     dev_dt, n_real, bytes_pushed = _device_profile(detector, image)
     dev_dt_fused = _device_profile_fused(detector, image)
@@ -343,13 +355,15 @@ def main() -> int:
     result = {
         "metric": "detection_windows_per_sec (TNS-Group.jpg, "
                   "smallest_face=0.1, full pipeline incl. eyes+ARG, "
-                  "batch=16)",
-        "value": round(wps_batched, 1),
+                  "streamed batches of 16)",
+        "value": round(wps_stream, 1),
         "unit": "windows/s",
-        "vs_baseline": round(wps_batched / cpu_wps, 2),
+        "vs_baseline": round(wps_stream / cpu_wps, 2),
         "detail": {
             "weights": weights_kind,
             "windows_per_image": int(n_windows),
+            "seconds_per_image_streamed": round(dt_s, 4),
+            "batched_windows_per_sec": round(wps_batched, 1),
             "seconds_per_image_batched": round(dt_b, 4),
             "single_image_windows_per_sec": round(wps_single, 1),
             "seconds_per_image_single": round(dt, 4),

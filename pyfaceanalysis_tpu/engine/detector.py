@@ -609,37 +609,9 @@ class FaceDetector:
             # per-stage GEMMs; see _detect_core_batch). The grid is tiled
             # with a per-row image index; the pyramid is stacked along the
             # level axis with image-folded crop levels.
-            B = len(images)
-            state_b, n_real, pyr_b = self._grid_state(im_w, im_h, batch=B)
-            use_pyr_b = (use_pyr and pyr_b is not None)
-            stack = self._to_canvas_batch(images)
-            device_images = stack          # (B, H, W); sliced where needed
-            pyramid_b = crops_b = scales_b = None
-            n_levels = 0
-            if use_pyr_b:
-                from pyfaceanalysis_tpu.ops.pyramid import build_pyramid_batch
-                n_levels = len(pyr_b.scales)
-                pyramid_b = build_pyramid_batch(stack, pyr_b.scales,
-                                                pyr_b.level_hw)
-                crops_b = pyr_b.crops
-                scales_b = jnp.asarray(pyr_b.scales * B, jnp.float32)
-            if self._mesh is not None:
-                state_b, crops_b, stack, pyramid_b, scales_b = \
-                    self._apply_mesh(state_b, crops_b, stack, pyramid_b,
-                                     scales_b)
-            blocks = np.asarray(_detect_core_batch(
-                model.plan, model.det_specs, geom, model.spec.eye_geom,
-                cfg, eye_net.specs, model.clf_input_dim("EyeLX"),
-                model.clf_input_dim("EyeLY"), cfg.max_detections, B,
-                n_real, n_levels, stack, model.det_params, model.det_clfs,
-                tuple(eye_net.params), model.classifier("EyeLX"),
-                model.classifier("EyeLY"), state_b, pyramid_b, crops_b,
-                scales_b))                        # one (B, k, 11) pull
-            for block in blocks:
-                rows = block[block[:, 10] > 0.5][:, :10]
-                purged_per_image.append(
-                    nms_mod.purge_detections(rows, cfg.purge_threshold)
-                    if len(rows) else np.zeros((0, 10)))
+            stack, fut = self._dispatch_fused(images)
+            return self._finish_fused(stack, np.asarray(fut),
+                                      estimate_attributes)
         else:
             # Async mode: dispatch one program per image back-to-back
             # (jax dispatch is non-blocking), pull afterwards.
@@ -667,7 +639,115 @@ class FaceDetector:
                 purged_per_image.append(
                     nms_mod.purge_detections(rows, cfg.purge_threshold)
                     if len(rows) else np.zeros((0, 10)))
+        return self._assemble_batch(device_images, purged_per_image,
+                                    estimate_attributes)
 
+    # -- fused-path pieces (shared by detect_batch and detect_stream) ---------
+
+    def _dispatch_fused(self, images: Sequence[np.ndarray]):
+        """Pushes a same-sized image batch and dispatches the fused cascade.
+
+        Returns ``(stack, future)`` where ``future`` is the not-yet-pulled
+        (B, k, 11) device block. Both the host->device transfer and the
+        cascade run asynchronously -- callers can overlap them with host
+        work or with pulling a previous batch (see detect_stream)."""
+        cfg, model = self.config, self.model
+        geom = model.spec.face_geom
+        im_h, im_w = images[0].shape
+        B = len(images)
+        state_b, n_real, pyr_b = self._grid_state(im_w, im_h, batch=B)
+        self.windows_scanned = n_real
+        if n_real == 0:
+            # Image below the scale envelope: nothing to scan. The
+            # sentinel future keeps the dispatch/finish contract.
+            return self._to_canvas_batch(images), None
+        eye_net = model.nets["net_eye"]
+        use_pyr = (pyr_b is not None and
+                   cfg.interpolation_formats[model.plan[0].serial]
+                   == "nearest")
+        stack = self._to_canvas_batch(images)
+        pyramid_b = crops_b = scales_b = None
+        n_levels = 0
+        if use_pyr:
+            from pyfaceanalysis_tpu.ops.pyramid import build_pyramid_batch
+            n_levels = len(pyr_b.scales)
+            pyramid_b = build_pyramid_batch(stack, pyr_b.scales,
+                                            pyr_b.level_hw)
+            crops_b = pyr_b.crops
+            scales_b = jnp.asarray(pyr_b.scales * B, jnp.float32)
+        if self._mesh is not None:
+            state_b, crops_b, stack, pyramid_b, scales_b = \
+                self._apply_mesh(state_b, crops_b, stack, pyramid_b,
+                                 scales_b)
+        fut = _detect_core_batch(
+            model.plan, model.det_specs, geom, model.spec.eye_geom,
+            cfg, eye_net.specs, model.clf_input_dim("EyeLX"),
+            model.clf_input_dim("EyeLY"), cfg.max_detections, B,
+            n_real, n_levels, stack, model.det_params, model.det_clfs,
+            tuple(eye_net.params), model.classifier("EyeLX"),
+            model.classifier("EyeLY"), state_b, pyramid_b, crops_b,
+            scales_b)
+        return stack, fut
+
+    def _finish_fused(self, stack, blocks: np.ndarray,
+                      estimate_attributes: bool) -> List[List[Detection]]:
+        """Host NMS + attribute heads + Detection assembly for a pulled
+        fused-cascade result block."""
+        cfg = self.config
+        if blocks is None or blocks.ndim == 0:   # n_real == 0 sentinel
+            return [[] for _ in range(int(stack.shape[0]))]
+        purged_per_image: List[np.ndarray] = []
+        for block in blocks:
+            rows = block[block[:, 10] > 0.5][:, :10]
+            purged_per_image.append(
+                nms_mod.purge_detections(rows, cfg.purge_threshold)
+                if len(rows) else np.zeros((0, 10)))
+        return self._assemble_batch(stack, purged_per_image,
+                                    estimate_attributes)
+
+    def detect_stream(self, batches, estimate_attributes: bool = True):
+        """Pipelined batched detection over an iterable of image batches.
+
+        Yields one ``List[List[Detection]]`` per input batch, in order.
+        While batch i's cascade runs on device, batch i+1's images are
+        already being converted and shipped host->device -- on tunneled
+        TPU links the image push costs ~2x the cascade itself (measured
+        round 3: ~30 ms/image push vs ~15 ms device at batch=16), so
+        overlapping them roughly doubles steady-state serving throughput
+        vs back-to-back detect_batch calls.
+
+        Batches must each contain same-sized images (sizes may differ
+        ACROSS batches); tracking mode or a ragged batch falls back to a
+        plain detect_batch call for that batch (pipeline flushed first).
+        """
+        cfg = self.config
+        prev = None
+        for images in batches:
+            ragged = (len(images) == 0 or
+                      any(im.shape != images[0].shape for im in images) or
+                      cfg.track_single_face or cfg.batch_mode != "fused")
+            if ragged:
+                if prev is not None:
+                    stack, fut = prev
+                    yield self._finish_fused(stack, np.asarray(fut),
+                                             estimate_attributes)
+                    prev = None
+                yield self.detect_batch(images, estimate_attributes)
+                continue
+            nxt = self._dispatch_fused(images)    # push+compute async
+            if prev is not None:
+                stack, fut = prev
+                yield self._finish_fused(stack, np.asarray(fut),
+                                         estimate_attributes)
+            prev = nxt
+        if prev is not None:
+            stack, fut = prev
+            yield self._finish_fused(stack, np.asarray(fut),
+                                     estimate_attributes)
+
+    def _assemble_batch(self, device_images, purged_per_image,
+                        estimate_attributes: bool) -> List[List[Detection]]:
+        cfg, model = self.config, self.model
         ages = stds = races = genders = None
         want_attrs = estimate_attributes and (
             cfg.estimate_age or cfg.estimate_race or cfg.estimate_gender)

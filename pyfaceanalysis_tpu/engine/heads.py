@@ -54,34 +54,50 @@ def _tta_offsets(k: int) -> np.ndarray:
     return np.asarray(offs, np.float32)
 
 
-@partial(jax.jit, static_argnames=("specs", "dims"))
-def _arg_forward(specs, dims: Tuple[int, int, int],
-                 images: jax.Array, net_params, clf_age, clf_race,
-                 clf_gender, centers: jax.Array, angles: jax.Array,
-                 sfs: jax.Array, img_idx: jax.Array,
-                 tta_offsets: jax.Array):
-    """Batched Z-frame normalization + patch + features + three regressions,
-    over faces drawn from a STACK of images (one program for a whole batch
-    of photos -- no per-image head dispatch).
+def _age_patch_zgrid() -> Tuple[np.ndarray, np.ndarray]:
+    """Static Z-frame coordinates (relative to the Z center) of the 96x96
+    age-patch sample grid.
 
-    images: (B, H, W); centers: (N, 2), angles: (N,) deg, sfs: (N,) source
-    px per Z px, img_idx: (N,) int32 image of each face. tta_offsets:
-    (K, 3) Z-frame crop perturbations; the K crops of a face run through
-    the same batched GEMMs (one wider batch, not K dispatches) and the
-    head outputs are posterior-averaged per face.
+    Composes the two affine resamplings of the reference path --
+    source -> (260, 256) Z frame (normalization.sample_frame) followed by
+    Z frame -> 96x96 sampled crop (extract_centered_patch at AGE_SAMPLING)
+    -- into ONE map, so `_sample_age_patches` gathers exactly the 9216
+    output taps per face instead of materializing the 66,560-texel Z frame
+    first (7.2x less gather traffic; the gather is the whole cost of the
+    attribute program on TPU). Single-stage bilinear of the composed map
+    vs bilinear-of-bilinear differ only in filter support; the 96x96 box
+    never leaves the Z frame (extent 182.4 px inside 256/260) so the
+    zero-fill semantics compose exactly.
+    """
+    zh, zw = Z_SIZE
+    fr, fc, tx, ty = age_patch_constants()
+    x0 = fc + tx * AGE_SAMPLING
+    y0 = fr + ty * AGE_SAMPLING
+    gx = (x0 + (np.arange(96, dtype=np.float32) + 0.5) * AGE_SAMPLING
+          - 0.5 - (zw - 1) / 2.0)
+    gy = (y0 + (np.arange(96, dtype=np.float32) + 0.5) * AGE_SAMPLING
+          - 0.5 - (zh - 1) / 2.0)
+    return gx, gy
+
+
+def _sample_age_patches(images: jax.Array, centers: jax.Array,
+                        angles: jax.Array, sfs: jax.Array,
+                        img_idx: jax.Array) -> jax.Array:
+    """(N, 96, 96) age-head input patches gathered DIRECTLY from the image
+    stack through the composed source->patch affine (see _age_patch_zgrid).
+
+    images: (B, H, W); centers: (N, 2) Z-frame center in source px;
+    angles: (N,) deg; sfs: (N,) source px per Z px; img_idx: (N,) int32.
     """
     B, H, W = images.shape
     flat_img = images.reshape(-1)
-    zh, zw = Z_SIZE
-    fr, fc, tx, ty = age_patch_constants()
+    gx, gy = _age_patch_zgrid()
+    gx = jnp.asarray(gx)
+    gy = jnp.asarray(gy)
 
     def one_face(center, angle, sf, idx):
-        # Traced-parameter version of normalization.sample_frame (which takes
-        # a static FrameParams dataclass), gathering from the image stack.
-        X = jnp.arange(zw, dtype=jnp.float32) - (zw - 1) / 2.0
-        Y = jnp.arange(zh, dtype=jnp.float32) - (zh - 1) / 2.0
-        u = X[None, :] * sf
-        v = Y[:, None] * sf
+        u = gx[None, :] * sf
+        v = gy[:, None] * sf
         rad = jnp.deg2rad(angle)
         c, s = jnp.cos(rad), jnp.sin(rad)
         sx = center[0] + c * u - s * v
@@ -103,11 +119,29 @@ def _arg_forward(specs, dims: Tuple[int, int, int],
 
         top = tap(iy0, ix0) * (1 - tx_) + tap(iy0, ix0 + 1) * tx_
         bot = tap(iy0 + 1, ix0) * (1 - tx_) + tap(iy0 + 1, ix0 + 1) * tx_
-        z = top * (1 - ty_) + bot * ty_
-        patch = extract_centered_patch(z, AGE_SAMPLING, fr, fc, tx, ty,
-                                       (96, 96))
-        return patch[0]
+        return top * (1 - ty_) + bot * ty_
 
+    return jax.vmap(one_face)(centers, angles, sfs, img_idx)
+
+
+@partial(jax.jit, static_argnames=("specs", "dims"))
+def _arg_forward(specs, dims: Tuple[int, int, int],
+                 images: jax.Array, net_params, clf_age, clf_race,
+                 clf_gender, centers: jax.Array, angles: jax.Array,
+                 sfs: jax.Array, img_idx: jax.Array,
+                 tta_offsets: jax.Array):
+    """Batched Z-frame normalization + patch + features + three regressions,
+    over faces drawn from a STACK of images (one program for a whole batch
+    of photos -- no per-image head dispatch). Returns ONE stacked (4, N)
+    array [age, age_std, race, gender] so the caller pays a single
+    device->host pull (~25 ms RTT each over a tunneled link).
+
+    images: (B, H, W); centers: (N, 2), angles: (N,) deg, sfs: (N,) source
+    px per Z px, img_idx: (N,) int32 image of each face. tta_offsets:
+    (K, 3) Z-frame crop perturbations; the K crops of a face run through
+    the same batched GEMMs (one wider batch, not K dispatches) and the
+    head outputs are posterior-averaged per face.
+    """
     n = centers.shape[0]
     k = tta_offsets.shape[0]
     # Expand each face into K crops: (ox, oy) rotate with the face angle
@@ -125,7 +159,7 @@ def _arg_forward(specs, dims: Tuple[int, int, int],
     angles_k = jnp.repeat(angles, k)
     idx_k = jnp.repeat(img_idx, k)
 
-    patches = jax.vmap(one_face)(centers_k, angles_k, sfs_k, idx_k)
+    patches = _sample_age_patches(images, centers_k, angles_k, sfs_k, idx_k)
     flat = contrast_enhance_patches(patches.reshape(patches.shape[0], -1),
                                     obj_avg=0.0, obj_std=0.16)
     sl = apply_network(specs, net_params, flat)
@@ -142,7 +176,7 @@ def _arg_forward(specs, dims: Tuple[int, int, int],
     age_std = jnp.sqrt(jnp.maximum(age_var, 0.0))
     race = race_k.reshape(n, k).mean(axis=1)
     gender = gender_k.reshape(n, k).mean(axis=1)
-    return age, age_std, race, gender
+    return jnp.stack([age, age_std, race, gender])
 
 
 def _frame_arrays(rows: np.ndarray):
@@ -183,7 +217,7 @@ def estimate_age_race_gender_multi(images: jax.Array, rows: np.ndarray,
     idx = np.pad(np.asarray(img_idx, np.int32), (0, pad))
 
     net = model.nets["net_age"]
-    age, age_std, race, gender = _arg_forward(
+    out = np.asarray(_arg_forward(          # ONE (4, bucket) pull
         net.specs,
         (model.clf_input_dim("Age"), model.clf_input_dim("Race"),
          model.clf_input_dim("Gender")),
@@ -191,9 +225,8 @@ def estimate_age_race_gender_multi(images: jax.Array, rows: np.ndarray,
         model.classifier("Age"), model.classifier("Race"),
         model.classifier("Gender"),
         jnp.asarray(centers), jnp.asarray(angles), jnp.asarray(sfs),
-        jnp.asarray(idx), jnp.asarray(_tta_offsets(tta)))
-    return (np.asarray(age)[:n], np.asarray(age_std)[:n],
-            np.asarray(race)[:n], np.asarray(gender)[:n])
+        jnp.asarray(idx), jnp.asarray(_tta_offsets(tta))))
+    return out[0, :n], out[1, :n], out[2, :n], out[3, :n]
 
 
 def estimate_age_race_gender(image: jax.Array, rows: np.ndarray, model,

@@ -262,6 +262,47 @@ class TestDetectEndToEnd:
                 np.testing.assert_allclose(db.box, ds.box, rtol=1e-4,
                                            atol=1e-3)
 
+    def test_detect_stream_matches_detect_batch(self, loaded_model):
+        """detect_stream pipelines dispatch/pull across batches but must
+        yield exactly detect_batch's results per batch, in order — incl.
+        a ragged batch (flushes the pipeline) and a below-envelope batch
+        (n_real == 0 sentinel path)."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        det = FaceDetector(loaded_model, cfg)
+        rng = np.random.RandomState(11)
+        batches = [
+            [rng.rand(100, 120).astype(np.float32) for _ in range(2)],
+            [rng.rand(100, 120).astype(np.float32) for _ in range(3)],
+            [rng.rand(100, 120).astype(np.float32),      # ragged sizes
+             rng.rand(90, 110).astype(np.float32)],
+            [rng.rand(100, 120).astype(np.float32) for _ in range(2)],
+        ]
+        streamed = list(det.detect_stream(batches,
+                                          estimate_attributes=False))
+        assert len(streamed) == len(batches)
+        for images, got in zip(batches, streamed):
+            want = det.detect_batch(images, estimate_attributes=False)
+            assert len(got) == len(want)
+            for g_dets, w_dets in zip(got, want):
+                assert len(g_dets) == len(w_dets)
+                for g, w in zip(g_dets, w_dets):
+                    np.testing.assert_allclose(g.box, w.box, rtol=1e-4,
+                                               atol=1e-3)
+
+    def test_detect_stream_empty_grid_batch(self, loaded_model):
+        """A batch of images below the scale envelope yields empty lists
+        through the sentinel (stack, None) dispatch."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.9,
+                             bucket_sizes=(256, 1024, 4096))
+        det = FaceDetector(loaded_model, cfg)
+        tiny = [np.zeros((24, 24), np.float32) for _ in range(2)]
+        out = list(det.detect_stream([tiny], estimate_attributes=False))
+        assert out == [[[], []]]
+
     def test_arg_tta_k1_matches_baseline_and_k5_is_sane(self, loaded_model):
         """tta=1 must be bit-identical to the single-crop head path
         (zero offsets); tta=5 must keep detection geometry untouched and

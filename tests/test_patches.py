@@ -96,3 +96,71 @@ def test_contrast_enhance_patches():
     flat = out.reshape(4, -1)
     np.testing.assert_allclose(flat.mean(axis=1), 0.11, atol=1e-4)
     np.testing.assert_allclose(flat.std(axis=1), 0.15, atol=1e-3)
+
+
+def test_age_patch_composed_affine_matches_two_stage():
+    """The ARG head samples its 96x96 patch directly from the source via a
+    composed source->Z->patch affine (engine/heads._sample_age_patches).
+    Golden: the original two-stage path (full Z-frame gather with the
+    head's -0.5 pixel-center convention, then extract_centered_patch).
+    On a LINEAR ramp bilinear sampling is exact at every stage, so the
+    two must agree to float tolerance; on smooth natural-ish content they
+    agree to ~1e-2 (single vs double bilinear filter support)."""
+    import jax.numpy as jnp
+    from pyfaceanalysis_tpu.engine.heads import _sample_age_patches
+    from pyfaceanalysis_tpu.training.datasets import (AGE_SAMPLING, Z_SIZE,
+                                                      age_patch_constants)
+
+    H, W = 240, 296
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    ramp = (0.3 * xx / W + 0.5 * yy / H + 0.1)
+    smooth = (0.5 + 0.25 * np.sin(2 * np.pi * xx / 37.0)
+              * np.cos(2 * np.pi * yy / 23.0)
+              + 0.15 * np.sin(2 * np.pi * (xx + yy) / 53.0)
+              ).astype(np.float32)
+    images = jnp.asarray(np.stack([ramp, smooth]))
+
+    centers = np.array([[150.0, 120.0], [140.0, 110.0]], np.float32)
+    angles = np.array([7.0, -12.0], np.float32)
+    sfs = np.array([0.55, 0.42], np.float32)
+    idx = np.array([0, 1], np.int32)
+
+    got = np.asarray(_sample_age_patches(images, jnp.asarray(centers),
+                                         jnp.asarray(angles),
+                                         jnp.asarray(sfs),
+                                         jnp.asarray(idx)))
+
+    # Two-stage reference: Z-frame gather with the head's pixel-center
+    # convention (sx - 0.5), then the centered crop.
+    zh, zw = Z_SIZE
+    fr, fc, tx, ty = age_patch_constants()
+    flat = np.asarray(images).reshape(2, -1)
+    want = []
+    for f in range(2):
+        X = np.arange(zw, dtype=np.float32) - (zw - 1) / 2.0
+        Y = np.arange(zh, dtype=np.float32) - (zh - 1) / 2.0
+        u = X[None, :] * sfs[f]
+        v = Y[:, None] * sfs[f]
+        rad = np.deg2rad(angles[f])
+        c, s = np.cos(rad), np.sin(rad)
+        sx = centers[f, 0] + c * u - s * v
+        sy = centers[f, 1] + s * u + c * v
+        px, py = sx - 0.5, sy - 0.5
+        ix0 = np.floor(px).astype(np.int32)
+        iy0 = np.floor(py).astype(np.int32)
+        tx_, ty_ = px - ix0, py - iy0
+
+        def tap(iy, ix, f=f):
+            inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            lin = np.clip(iy, 0, H - 1) * W + np.clip(ix, 0, W - 1)
+            return np.where(inb, flat[f][lin], 0.0)
+
+        top = tap(iy0, ix0) * (1 - tx_) + tap(iy0, ix0 + 1) * tx_
+        bot = tap(iy0 + 1, ix0) * (1 - tx_) + tap(iy0 + 1, ix0 + 1) * tx_
+        z = (top * (1 - ty_) + bot * ty_).astype(np.float32)
+        patch = np.asarray(extract_centered_patch(
+            jnp.asarray(z), AGE_SAMPLING, fr, fc, tx, ty, (96, 96)))[0]
+        want.append(patch)
+
+    np.testing.assert_allclose(got[0], want[0], atol=2e-5)   # exact: ramp
+    assert np.abs(got[1] - want[1]).max() < 2e-2              # smooth
