@@ -65,6 +65,9 @@ TPU-native extensions:
   --batch_mode=fused|async    batch path: one fused program vs per-image
   --arg_tta=K                 average the age/race/gender heads over K
                               jittered crops per face (default 1)
+  --eye_iters=K               eye-localization refinement passes; the eye
+                              nets re-run on the re-centered boxes (the
+                              too-far gate always uses pass 1; default 1)
 """
 
 _LONG_OPTS = [
@@ -78,7 +81,7 @@ _LONG_OPTS = [
     "estimate_age_race_gender=", "image_prescaling=",
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
-    "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=",
+    "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=", "eye_iters=",
 ]
 
 
@@ -174,6 +177,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg_kw["batch_mode"] = a
         elif o == "--arg_tta":
             cfg_kw["arg_tta"] = int(a)
+        elif o == "--eye_iters":
+            cfg_kw["eye_iters"] = int(a)
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):

@@ -115,6 +115,16 @@ class DetectorConfig:
     # ~90% padding.
     eye_max_faces: int = 64
 
+    # Eye-localization refinement passes (TPU extension, not in the
+    # reference, which runs the eye nets once: face_analysis.py:1036-1109).
+    # K>1 re-centers each eye search box on the pass-1 estimate and runs
+    # the nets again (2*eye_cap extra 64x64 patches per pass -- negligible
+    # next to the cascade). The "too far" rejection gate always uses the
+    # PASS-1 regression magnitude, so detection validity is identical to
+    # the reference semantics at any K; only the reported eye positions
+    # refine. 1 = reference parity.
+    eye_iters: int = 1
+
     # Crops averaged per face by the age/race/gender heads (TPU extension,
     # not in the reference: engine/heads.py _tta_offsets). 1 = the
     # reference's single Z-frame crop; K>1 runs K jittered crops through

@@ -215,6 +215,14 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
         (eye_geom.subimage_height, eye_geom.subimage_width),
         image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles,
         pyramid=eye_pyr, pyr_scales=eye_scales)
+    # Optional extra refinement passes on the re-centered boxes; the
+    # too-far gate below keeps using the PASS-1 magnitude (config.eye_iters).
+    for _ in range(cfg.eye_iters - 1):
+        new_boxes, _ = eyes_mod.localize_eyes(
+            eye_specs, dim_x, dim_y,
+            (eye_geom.subimage_height, eye_geom.subimage_width),
+            image, eye_params, clf_ex, clf_ey, new_boxes, both_angles,
+            pyramid=eye_pyr, pyr_scales=eye_scales)
     # Refined boxes for the eye sub-batch; geometric prior for the rest.
     l_new = jnp.concatenate([new_boxes[:eye_cap], l_boxes[eye_cap:]], axis=0)
     r_new = jnp.concatenate([new_boxes[eye_cap:], r_boxes[eye_cap:]], axis=0)
@@ -307,6 +315,15 @@ def _detect_core_batch(plan, det_specs, geom, eye_geom, cfg, eye_specs,
         images, eye_params, clf_ex, clf_ey, eye_boxes, both_angles,
         pyramid=eye_pyr, pyr_scales=eye_scales,
         image_idx=both_img, n_base_levels=n_levels)
+    # Optional extra refinement passes on the re-centered boxes; the
+    # too-far gate below keeps using the PASS-1 magnitude (config.eye_iters).
+    for _ in range(cfg.eye_iters - 1):
+        new_boxes, _ = eyes_mod.localize_eyes(
+            eye_specs, dim_x, dim_y,
+            (eye_geom.subimage_height, eye_geom.subimage_width),
+            images, eye_params, clf_ex, clf_ey, new_boxes, both_angles,
+            pyramid=eye_pyr, pyr_scales=eye_scales,
+            image_idx=both_img, n_base_levels=n_levels)
     m = n_images * eye_cap
     l_ref = new_boxes[:m].reshape(n_images, eye_cap, 4)
     r_ref = new_boxes[m:].reshape(n_images, eye_cap, 4)

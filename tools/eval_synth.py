@@ -55,6 +55,8 @@ def main(argv=None) -> int:
     p.add_argument("--eye_tol", type=float, default=-1.0,
                    help="override tolerance_xy_eye (-1 = model default)")
     p.add_argument("--pos_gain", type=float, default=-1.0)
+    p.add_argument("--eye_iters", type=int, default=1,
+                   help="eye-localization refinement passes (config.eye_iters)")
     p.add_argument("--arg_tta", type=int, default=1,
                    help="crops averaged per face by the attribute heads")
     p.add_argument("--chunk", type=int, default=16,
@@ -73,7 +75,8 @@ def main(argv=None) -> int:
     model = DetectionModel.load(args.pipeline_dir)
     cfg = DetectorConfig(smallest_face=args.smallest_face,
                          tolerance_xy_eye=args.eye_tol,
-                         pos_gain=args.pos_gain, arg_tta=args.arg_tta)
+                         pos_gain=args.pos_gain, arg_tta=args.arg_tta,
+                         eye_iters=args.eye_iters)
     det = FaceDetector(model, cfg)
 
     rng = np.random.RandomState(args.seed)
