@@ -58,12 +58,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="pose-stage decoder: reference Gaussian soft "
                         "regression, or a ridge readout (better real-photo "
                         "decode; recalibrate gates after switching)")
+    p.add_argument("--mined_negatives", default="",
+                   help="mined false-positive box file "
+                        "(tools/mine_hard_negatives.py): extra Disc "
+                        "background negatives on the model's own FPs")
+    p.add_argument("--mined_frac", type=float, default=0.5,
+                   help="extra mined negatives as a fraction of the Disc "
+                        "background class size")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
 
     real = dict(real_frac=args.real_frac, real_bg_frac=args.real_bg_frac,
-                real_gt_file=args.real_gt_file, disc_node=args.disc_node,
+                real_gt_file=args.real_gt_file,
+                mined_file=args.mined_negatives,
+                mined_frac=args.mined_frac, disc_node=args.disc_node,
                 pose_node=args.pose_node, eye_node=args.eye_node,
                 age_jitter_px=args.age_jitter_px,
                 age_jitter_scale=args.age_jitter_scale,

@@ -202,7 +202,8 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
 def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  num_classes: int = 10, real_source=None,
                  real_frac: float = 0.0, real_bg_frac: float = 0.0,
-                 contrast_normalize: bool = False
+                 contrast_normalize: bool = False,
+                 mined_frac: float = 0.0
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Graded face-centering patches.
 
@@ -210,8 +211,12 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     (class 0 = centered); the last class is pure background. Real annotated
     faces join the graded classes at ratio ``real_frac``; real face-free
     photo crops (hard negatives) join the background class at
-    ``real_bg_frac``. Returns (patches (N, 4096), class_ids (N,),
-    avg_labels (C,) = linspace(0, 1, C)).
+    ``real_bg_frac``. When ``real_source`` carries mined false-positive
+    boxes (RealFaceSource.load_mined), ``mined_frac`` x the background
+    count of EXTRA background-class patches are sampled on those boxes --
+    the model's own real-photo mistakes as bootstrapped hard negatives.
+    Returns (patches (N, 4096), class_ids (N,), avg_labels (C,) =
+    linspace(0, 1, C)).
     """
     k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
     imgs, attrs = _face_canvases(k_face, num_faces, 22.5,
@@ -281,9 +286,22 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
         _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))))
     bg_patches = jnp.reshape(bg_patches, (nb * per, -1))
 
+    n_mined = (int(nb * per * mined_frac)
+               if (real_source is not None
+                   and getattr(real_source, "num_mined", 0) > 0) else 0)
+    if n_mined > 0:
+        seed = int(jax.random.randint(jax.random.fold_in(key, 43),
+                                      (), 0, 2 ** 31 - 1))
+        hw = (geom.subimage_height, geom.subimage_width)
+        mined = real_source.sample_mined_patches(seed, n_mined, hw)
+        mined = _random_patch_blur(jax.random.fold_in(key, 97), mined)
+        bg_patches = jnp.concatenate(
+            [bg_patches, jnp.reshape(mined, (n_mined, -1))], axis=0)
+
     all_patches = jnp.concatenate([patches, bg_patches], axis=0)  # device
     all_cls = np.concatenate([cls,
-                              np.full(nb * per, num_classes - 1, np.int64)])
+                              np.full(nb * per + n_mined, num_classes - 1,
+                                      np.int64)])
     avg_labels = np.linspace(0.0, 1.0, num_classes)
     return _maybe_contrast(all_patches, contrast_normalize), all_cls, \
         avg_labels

@@ -36,7 +36,8 @@ class RealFaceSource:
     """Loads annotated photos once (device-resident, mirrored copies
     included) and samples face / background canvases on demand."""
 
-    def __init__(self, gt_file: str = DEFAULT_GT, verbose: bool = True):
+    def __init__(self, gt_file: str = DEFAULT_GT, verbose: bool = True,
+                 mined_file: str = ""):
         import jax.numpy as jnp
 
         from pyfaceanalysis_tpu.io.images import load_image
@@ -113,9 +114,88 @@ class RealFaceSource:
             print(f"[real] {len(coords)} annotated faces over "
                   f"{self._n_images} photos ({gt_file})")
 
+        # filename -> base-image index (both full path and basename keys),
+        # for mined hard-negative box resolution.
+        self._path_to_base: Dict[str, int] = dict(path_to_idx)
+        for fn, bi in list(path_to_idx.items()):
+            self._path_to_base.setdefault(os.path.basename(fn), bi)
+        self._mined = np.zeros((0, 5), np.float32)  # (bi, cx, cy, side, ang)
+        if mined_file:
+            self.load_mined(mined_file, verbose=verbose)
+
     @property
     def num_faces(self) -> int:
         return len(self._faces)
+
+    @property
+    def num_mined(self) -> int:
+        return len(self._mined)
+
+    def load_mined(self, mined_file: str, verbose: bool = True) -> None:
+        """Load mined hard-negative boxes (tools/mine_hard_negatives.py):
+        lines of ``filename x0 y0 x1 y1 angle`` in FULL-RESOLUTION photo
+        coordinates. Boxes on photos absent from the annotation file are
+        skipped (their pixels are not in the device stack)."""
+        rows = []
+        skipped = 0
+        with open(mined_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                fn = parts[0]
+                bi = self._path_to_base.get(
+                    fn, self._path_to_base.get(os.path.basename(fn)))
+                if bi is None:
+                    skipped += 1
+                    continue
+                x0, y0, x1, y1, ang = map(float, parts[1:6])
+                rows.append((bi, (x0 + x1) / 2.0, (y0 + y1) / 2.0,
+                             abs(x1 - x0) + 1.0, ang))
+        self._mined = np.asarray(rows, np.float32).reshape(-1, 5)
+        if verbose:
+            msg = f"[real] {len(rows)} mined hard-negative boxes"
+            if skipped:
+                msg += f" ({skipped} skipped: photo not in stack)"
+            print(msg)
+
+    def sample_mined_patches(self, seed: int, n: int,
+                             patch_hw: Tuple[int, int] = (64, 64)):
+        """n net-geometry patches centered (with jitter) on mined
+        false-positive boxes: the production model's own real-photo
+        mistakes recycled as dedicated Disc background-class negatives
+        (bootstrapped hard-negative mining). The jitter family spans the
+        grid/refinement perturbations under which the same FP would
+        re-fire (scale x/1.2, +-12% shift, +-8 deg), plus the aliasing
+        variants and mirroring the face sampler already uses."""
+        import jax.numpy as jnp
+
+        from pyfaceanalysis_tpu.ops.patches import extract_patches_rotate
+
+        if len(self._mined) == 0:
+            raise ValueError("no mined boxes loaded (load_mined)")
+        rng = np.random.RandomState(seed + 13)
+        m = self._mined
+        idx = rng.randint(0, len(m), n)
+        bi = m[idx, 0].astype(np.int64)
+        ii = bi * 3 + rng.randint(0, 3, n)           # aliasing variant
+        mirror = rng.randint(0, 2, n)
+        side = m[idx, 3] * np.exp(rng.uniform(-0.18, 0.18, n))
+        cx = m[idx, 1] + rng.uniform(-0.12, 0.12, n) * side
+        cy = m[idx, 2] + rng.uniform(-0.12, 0.12, n) * side
+        ang = m[idx, 4] + rng.uniform(-8.0, 8.0, n)
+        w = self._sizes[ii, 1].astype(np.float64)
+        cx = np.where(mirror, w - 1.0 - cx, cx)
+        ang = np.where(mirror, -ang, ang)
+        img_idx = (ii + mirror * self._n_images).astype(np.int32)
+        boxes = np.stack([cx - (side - 1.0) / 2.0, cy - (side - 1.0) / 2.0,
+                          cx + (side - 1.0) / 2.0, cy + (side - 1.0) / 2.0],
+                         axis=1).astype(np.float32)
+        return extract_patches_rotate(
+            self._stack, jnp.asarray(boxes),
+            jnp.asarray(ang.astype(np.float32)), patch_hw,
+            method="nearest", image_idx=jnp.asarray(img_idx))
 
     def sample_faces(self, seed: int, n: int,
                      canvas_hw: Tuple[int, int] = (240, 240),

@@ -165,6 +165,13 @@ class TrainConfig:
     real_frac: float = 0.22
     real_bg_frac: float = 0.30
     real_gt_file: str = ""   # "" = data/train_faces_gt.txt
+    # Mined false-positive boxes (tools/mine_hard_negatives.py output):
+    # extra Disc background-class patches centered on the production
+    # model's own real-photo FPs (bootstrapped hard-negative mining).
+    # mined_frac scales the EXTRA patch count relative to the background
+    # class size. "" = no mining.
+    mined_file: str = ""
+    mined_frac: float = 0.5
     # Per-patch contrast normalization on the DETECTION patch batches
     # (pose/disc); removes global photometric domain shift between the
     # renderer and photographs. Recorded in the calibration manifest so
@@ -266,6 +273,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                                   verbose=verbose)
         else:
             real_source = real_mod.default_source(verbose=verbose)
+        if cfg.mined_file and real_source is not None:
+            real_source.load_mined(cfg.mined_file, verbose=verbose)
     eye_geom = NetGeometry(Dx=8, Dy=8, Dang=0, mins=0.675, maxs=0.975,
                            subimage_width=64, subimage_height=64,
                            regression_width=64, regression_height=64)
@@ -354,7 +363,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             keys[2 + i], cfg.disc_faces, cfg.disc_steps, face_geom,
             real_source=real_source, real_frac=cfg.real_frac,
             real_bg_frac=cfg.real_bg_frac,
-            contrast_normalize=cfg.contrast_normalize)
+            contrast_normalize=cfg.contrast_normalize,
+            mined_frac=cfg.mined_frac)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.disc_node)
         net = train_network(net, x, graph="clustered", labels=cls,

@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     ap.add_argument("--attrs", default="",
                     help="attribute truth file (basename age race gender); "
                          "scores age/race/gender heads on matched faces")
+    ap.add_argument("--eye_iters", type=int, default=1,
+                    help="eye-localization refinement passes")
+    ap.add_argument("--matmul_dtype", default="f32",
+                    choices=["f32", "bf16"],
+                    help="network GEMM operand dtype")
     args = ap.parse_args(argv)
 
     from pyfaceanalysis_tpu.config import DetectorConfig
@@ -58,7 +63,9 @@ def main(argv=None) -> int:
                 attr_truth[name] = (float(age), race, gender)
 
     model = DetectionModel.load(args.model)
-    det = FaceDetector(model, DetectorConfig(smallest_face=args.smallest_face))
+    det = FaceDetector(model, DetectorConfig(
+        smallest_face=args.smallest_face, eye_iters=args.eye_iters,
+        matmul_dtype=args.matmul_dtype))
     filenames, _ = load_true_coordinates("", args.anchors)
     per_photo = []
     attr_rows = []
