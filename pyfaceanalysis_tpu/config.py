@@ -179,11 +179,15 @@ class DetectorConfig:
     # into this many rows on device so only a tiny block crosses the
     # device->host link (the scarce resource on tunneled TPU setups).
     max_detections: int = 256
-    # GEMM operand dtype for the network forward passes: "f32" (default) or
-    # "bf16" (MXU fast path, ~4x f32 peak on v5e; accumulation stays f32).
-    # Opt-in until the synthetic-panel CI + TNS parity gate passes on
-    # hardware -- Disc cutoffs sit near decision boundaries.
-    matmul_dtype: str = "f32"
+    # GEMM operand dtype for the cascade network forward passes: "bf16"
+    # (default; MXU fast path, ~4x f32 peak on v5e; accumulation stays f32
+    # via preferred_element_type) or "f32". Adopted as default by the
+    # round-3 pre-registered gate: on TPU the 48-scene panel and the
+    # 3-anchor real-photo eval are IDENTICAL to f32 on every metric
+    # (recall/FP/eye-err/attrs to 4 decimals; docs/ROUND3_NOTES.md
+    # session 12) -- the Gaussian-posterior gates are insensitive to
+    # operand rounding at f32 accumulation.
+    matmul_dtype: str = "bf16"
     # Multi-chip data-parallel inference: shard the window batch of every
     # detection program over a 1-D mesh of this many devices (0/1 = off).
     # The jitted programs are unchanged -- XLA's SPMD partitioner splits
