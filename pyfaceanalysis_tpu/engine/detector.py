@@ -156,6 +156,23 @@ def _pad_convert(u8: jax.Array, H: int, W: int) -> jax.Array:
     return jnp.pad(u8, pad).astype(jnp.float32) / 255.0
 
 
+def _block_rows(block: np.ndarray) -> np.ndarray:
+    """Valid rows of a pulled detection block: (n, 10) NMS/head rows
+    [box, angle, PASS-1 eyes, conf], with the refined eye centers appended
+    as cols 10:14 when the block carries them (config.eye_iters > 1)."""
+    rows = block[block[:, 10] > 0.5]
+    if block.shape[-1] > 11:
+        return np.concatenate([rows[:, :10], rows[:, 11:15]], axis=1)
+    return rows[:, :10]
+
+
+def _row_eyes(r) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+    """REPORTED eye centers of a purged row: the refined pass when present
+    (cols 10:14), else the pass-1 positions (cols 5:9)."""
+    e = r[10:14] if len(r) >= 14 else r[5:9]
+    return (float(e[0]), float(e[1])), (float(e[2]), float(e[3]))
+
+
 @partial(jax.jit, static_argnames=("plan", "det_specs", "geom", "eye_geom",
                                    "cfg", "eye_specs", "dim_x", "dim_y",
                                    "k_out"))
@@ -168,6 +185,9 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     Returns a (k_out, 11) block: [x0, y0, x1, y1, angle, elx, ely, erx, ery,
     conf, valid] -- the ONLY device->host transfer of the whole detection
     pass (pulling full padded cascade state is wasteful on tunneled links).
+    With config.eye_iters > 1 the block is (k_out, 15): the refined eye
+    centers ride along as cols 11-14 (cols 5-8 stay pass-1 -- see the
+    refinement comment below).
     """
     out = cascade_mod.run_cascade(
         plan, det_specs, geom, cfg,
@@ -210,22 +230,29 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
             and pyramid.shape[1] >= 128 and pyramid.shape[2] >= 256
             and pyramid.shape[1] % 8 == 0 and pyramid.shape[2] % 128 == 0):
         eye_pyr, eye_scales = pyramid, pyr_scales
-    new_boxes, max_reg = eyes_mod.localize_eyes(
+    pass1_boxes, max_reg = eyes_mod.localize_eyes(
         eye_specs, dim_x, dim_y,
         (eye_geom.subimage_height, eye_geom.subimage_width),
         image, eye_params, clf_ex, clf_ey, eye_boxes, both_angles,
         pyramid=eye_pyr, pyr_scales=eye_scales)
-    # Optional extra refinement passes on the re-centered boxes; the
-    # too-far gate below keeps using the PASS-1 magnitude (config.eye_iters).
+    # Optional extra refinement passes on the re-centered boxes
+    # (config.eye_iters). Refinement is a pure OUTPUT refinement: the
+    # too-far gate, NMS and the attribute heads all consume the PASS-1
+    # positions (cols 5-8), so the detection set and attributes are
+    # bit-identical at any K; the refined centers ride along as extra
+    # columns 11-14 and become the REPORTED eye coordinates.
+    new_boxes = pass1_boxes
     for _ in range(cfg.eye_iters - 1):
         new_boxes, _ = eyes_mod.localize_eyes(
             eye_specs, dim_x, dim_y,
             (eye_geom.subimage_height, eye_geom.subimage_width),
             image, eye_params, clf_ex, clf_ey, new_boxes, both_angles,
             pyramid=eye_pyr, pyr_scales=eye_scales)
-    # Refined boxes for the eye sub-batch; geometric prior for the rest.
-    l_new = jnp.concatenate([new_boxes[:eye_cap], l_boxes[eye_cap:]], axis=0)
-    r_new = jnp.concatenate([new_boxes[eye_cap:], r_boxes[eye_cap:]], axis=0)
+    # Pass-1 boxes for the eye sub-batch; geometric prior for the rest.
+    l_new = jnp.concatenate([pass1_boxes[:eye_cap], l_boxes[eye_cap:]],
+                            axis=0)
+    r_new = jnp.concatenate([pass1_boxes[eye_cap:], r_boxes[eye_cap:]],
+                            axis=0)
     too_far = max_reg >= cfg.tolerance_xy_eye
     bad = too_far[:eye_cap] | too_far[eye_cap:]
     bad = jnp.concatenate(
@@ -233,9 +260,16 @@ def _detect_core(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     valid = valid & jnp.logical_not(bad)
     l_c = (l_new[:, 0:2] + l_new[:, 2:4]) / 2.0
     r_c = (r_new[:, 0:2] + r_new[:, 2:4]) / 2.0
-    return jnp.concatenate(
-        [boxes, angles[:, None], l_c, r_c, conf[:, None],
-         valid[:, None].astype(jnp.float32)], axis=1)
+    cols = [boxes, angles[:, None], l_c, r_c, conf[:, None],
+            valid[:, None].astype(jnp.float32)]
+    if cfg.eye_iters > 1:
+        l_ref = jnp.concatenate([new_boxes[:eye_cap], l_boxes[eye_cap:]],
+                                axis=0)
+        r_ref = jnp.concatenate([new_boxes[eye_cap:], r_boxes[eye_cap:]],
+                                axis=0)
+        cols += [(l_ref[:, 0:2] + l_ref[:, 2:4]) / 2.0,
+                 (r_ref[:, 0:2] + r_ref[:, 2:4]) / 2.0]
+    return jnp.concatenate(cols, axis=1)
 
 
 @partial(jax.jit, static_argnames=("plan", "det_specs", "geom", "eye_geom",
@@ -309,14 +343,16 @@ def _detect_core_batch(plan, det_specs, geom, eye_geom, cfg, eye_specs,
             and pyramid.shape[1] >= 128 and pyramid.shape[2] >= 256
             and pyramid.shape[1] % 8 == 0 and pyramid.shape[2] % 128 == 0):
         eye_pyr, eye_scales = pyramid, pyr_scales
-    new_boxes, max_reg = eyes_mod.localize_eyes(
+    pass1_boxes, max_reg = eyes_mod.localize_eyes(
         eye_specs, dim_x, dim_y,
         (eye_geom.subimage_height, eye_geom.subimage_width),
         images, eye_params, clf_ex, clf_ey, eye_boxes, both_angles,
         pyramid=eye_pyr, pyr_scales=eye_scales,
         image_idx=both_img, n_base_levels=n_levels)
-    # Optional extra refinement passes on the re-centered boxes; the
-    # too-far gate below keeps using the PASS-1 magnitude (config.eye_iters).
+    # config.eye_iters refinement passes; pure output refinement -- gate,
+    # NMS and heads consume pass 1, refined centers appended as cols 11-14
+    # (see _detect_core).
+    new_boxes = pass1_boxes
     for _ in range(cfg.eye_iters - 1):
         new_boxes, _ = eyes_mod.localize_eyes(
             eye_specs, dim_x, dim_y,
@@ -325,24 +361,31 @@ def _detect_core_batch(plan, det_specs, geom, eye_geom, cfg, eye_specs,
             pyramid=eye_pyr, pyr_scales=eye_scales,
             image_idx=both_img, n_base_levels=n_levels)
     m = n_images * eye_cap
-    l_ref = new_boxes[:m].reshape(n_images, eye_cap, 4)
-    r_ref = new_boxes[m:].reshape(n_images, eye_cap, 4)
-    l_fin = jnp.concatenate(
-        [l_ref, l_all.reshape(n_images, k, 4)[:, eye_cap:]], axis=1)
-    r_fin = jnp.concatenate(
-        [r_ref, r_all.reshape(n_images, k, 4)[:, eye_cap:]], axis=1)
+
+    def _fin_centers(eb):
+        l_ref = eb[:m].reshape(n_images, eye_cap, 4)
+        r_ref = eb[m:].reshape(n_images, eye_cap, 4)
+        l_fin = jnp.concatenate(
+            [l_ref, l_all.reshape(n_images, k, 4)[:, eye_cap:]], axis=1)
+        r_fin = jnp.concatenate(
+            [r_ref, r_all.reshape(n_images, k, 4)[:, eye_cap:]], axis=1)
+        return ((l_fin[..., 0:2] + l_fin[..., 2:4]) / 2.0,
+                (r_fin[..., 0:2] + r_fin[..., 2:4]) / 2.0)
+
+    l_c, r_c = _fin_centers(pass1_boxes)
     too_far = (max_reg >= cfg.tolerance_xy_eye).reshape(2, n_images, eye_cap)
     bad = too_far[0] | too_far[1]                          # (B, eye_cap)
     bad = jnp.concatenate(
         [bad, jnp.zeros((n_images, k - eye_cap), bool)], axis=1)
     valid = valid.reshape(n_images, k) & jnp.logical_not(bad)
-    l_c = (l_fin[..., 0:2] + l_fin[..., 2:4]) / 2.0
-    r_c = (r_fin[..., 0:2] + r_fin[..., 2:4]) / 2.0
-    return jnp.concatenate(
-        [boxes.reshape(n_images, k, 4),
-         angles.reshape(n_images, k)[..., None], l_c, r_c,
-         conf.reshape(n_images, k)[..., None],
-         valid[..., None].astype(jnp.float32)], axis=2)
+    cols = [boxes.reshape(n_images, k, 4),
+            angles.reshape(n_images, k)[..., None], l_c, r_c,
+            conf.reshape(n_images, k)[..., None],
+            valid[..., None].astype(jnp.float32)]
+    if cfg.eye_iters > 1:
+        l_c2, r_c2 = _fin_centers(new_boxes)
+        cols += [l_c2, r_c2]
+    return jnp.concatenate(cols, axis=2)
 
 
 class FaceDetector:
@@ -550,7 +593,7 @@ class FaceDetector:
             tuple(eye_net.params), model.classifier("EyeLX"),
             model.classifier("EyeLY"), state, pyramid, crops, scales_arr)
         block = np.asarray(block)                 # the one result pull
-        rows = block[block[:, 10] > 0.5][:, :10]
+        rows = _block_rows(block)
         if len(rows) == 0:
             self._update_tracking(rows)
             return []
@@ -569,10 +612,10 @@ class FaceDetector:
                     device_image, purged,
                     start_index=getattr(self, "_age_image_index", 0))
         for j, r in enumerate(purged):
+            el, er = _row_eyes(r)
             det_list.append(Detection(
                 box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
-                eye_left=(float(r[5]), float(r[6])),
-                eye_right=(float(r[7]), float(r[8])),
+                eye_left=el, eye_right=er,
                 confidence=float(r[9]),
                 age=None if ages is None else float(ages[j]),
                 age_std=None if stds is None else float(stds[j]),
@@ -652,7 +695,7 @@ class FaceDetector:
                     scales_arr if use_pyr else None))
             for fut in futures:
                 block = np.asarray(fut)
-                rows = block[block[:, 10] > 0.5][:, :10]
+                rows = _block_rows(block)
                 purged_per_image.append(
                     nms_mod.purge_detections(rows, cfg.purge_threshold)
                     if len(rows) else np.zeros((0, 10)))
@@ -715,7 +758,7 @@ class FaceDetector:
             return [[] for _ in range(int(stack.shape[0]))]
         purged_per_image: List[np.ndarray] = []
         for block in blocks:
-            rows = block[block[:, 10] > 0.5][:, :10]
+            rows = _block_rows(block)
             purged_per_image.append(
                 nms_mod.purge_detections(rows, cfg.purge_threshold)
                 if len(rows) else np.zeros((0, 10)))
@@ -786,10 +829,10 @@ class FaceDetector:
             dets = []
             for j, r in enumerate(purged):
                 k = offset + j
+                el, er = _row_eyes(r)
                 dets.append(Detection(
                     box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
-                    eye_left=(float(r[5]), float(r[6])),
-                    eye_right=(float(r[7]), float(r[8])),
+                    eye_left=el, eye_right=er,
                     confidence=float(r[9]),
                     age=None if ages is None else float(ages[k]),
                     age_std=None if stds is None else float(stds[k]),

@@ -22,14 +22,17 @@ def relative_eye_error_np(eyes_a: np.ndarray, eyes_b: np.ndarray) -> float:
 
 def purge_detections(rows: np.ndarray, threshold: float = 0.25,
                      weight_confidences_by_area: bool = True) -> np.ndarray:
-    """rows: (N, 10) [x0, y0, x1, y1, angle, elx, ely, erx, ery, conf].
+    """rows: (N, >=10) [x0, y0, x1, y1, angle, elx, ely, erx, ery, conf,
+    *extra]. Extra trailing columns (e.g. refined eye centers when
+    config.eye_iters > 1) ride along untouched -- scoring and clustering
+    use only the first 10.
 
     Returns the kept rows, best first.
     """
     rows = np.asarray(rows, np.float64)
     if len(rows) <= 1:
         return rows.copy()
-    conf = rows[:, -1]
+    conf = rows[:, 9]
     if weight_confidences_by_area:
         areas = np.sqrt((rows[:, 7] - rows[:, 5]) ** 2 +
                         (rows[:, 8] - rows[:, 6]) ** 2)

@@ -326,37 +326,50 @@ class TestDetectEndToEnd:
         # averaged age stays inside the head's label range
         assert (k5[0] >= 16.0).all() and (k5[0] <= 58.0).all()
 
-    def test_eye_iters_preserves_detection_geometry(self, loaded_model,
-                                                    monkeypatch):
-        """eye_iters=2 re-runs the eye nets on re-centered boxes; the
-        too-far gate uses pass 1, so the PRE-NMS detection block (boxes,
-        angles, confidences, validity) must be identical to eye_iters=1 --
-        only the eye positions may move. (Post-NMS sets can legitimately
-        differ: purge scores and clusters BY eye positions, so NMS is
-        bypassed here to compare the device block row-for-row.)"""
-        from pyfaceanalysis_tpu.engine import detector as detector_mod
+    def test_eye_iters_preserves_detection_geometry(self, loaded_model):
+        """eye_iters=2 is a pure OUTPUT refinement: the too-far gate, NMS
+        and the attribute heads all consume the pass-1 eye positions, so
+        the post-NMS detection set (boxes, angles, confidences, count) and
+        the attributes are bit-identical to eye_iters=1; only the REPORTED
+        eye coordinates move (refined pass, block cols 11-14)."""
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
-        monkeypatch.setattr(detector_mod.nms_mod, "purge_detections",
-                            lambda rows, thr: np.asarray(rows))
         kw = dict(smallest_face=0.4, bucket_sizes=(256, 1024, 4096),
                   cut_offs_face=(1.01,) * 10)
         rng = np.random.RandomState(3)
         image = rng.rand(120, 140).astype(np.float32)
-        out1 = FaceDetector(loaded_model, DetectorConfig(**kw)).detect(
-            image, estimate_attributes=False)
+        out1 = FaceDetector(loaded_model, DetectorConfig(**kw)).detect(image)
         out2 = FaceDetector(
-            loaded_model, DetectorConfig(eye_iters=2, **kw)).detect(
-            image, estimate_attributes=False)
+            loaded_model, DetectorConfig(eye_iters=2, **kw)).detect(image)
         assert len(out1) == len(out2) > 0
         moved = 0.0
         for a, b in zip(out1, out2):
-            np.testing.assert_allclose(a.box, b.box, rtol=1e-6)
-            np.testing.assert_allclose(a.angle, b.angle, rtol=1e-6)
-            np.testing.assert_allclose(a.confidence, b.confidence, rtol=1e-6)
+            np.testing.assert_array_equal(a.box, b.box)
+            assert a.angle == b.angle and a.confidence == b.confidence
+            assert a.age == b.age and a.gender_value == b.gender_value
             assert np.isfinite([*b.eye_left, *b.eye_right]).all()
             moved += abs(np.subtract(a.eye_left, b.eye_left)).sum()
         # pass 2 actually ran: random eye nets shift re-centered boxes
         assert moved > 0.0
+
+    def test_eye_iters_fused_batch_matches_single(self, loaded_model):
+        """The fused multi-image block carries the refined-eye columns
+        too: detect_batch at eye_iters=2 equals per-image detect."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4, eye_iters=2,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        det = FaceDetector(loaded_model, cfg)
+        rng = np.random.RandomState(5)
+        images = [rng.rand(100, 120).astype(np.float32) for _ in range(2)]
+        batched = det.detect_batch(images, estimate_attributes=False)
+        for im, got in zip(images, batched):
+            want = det.detect(im, estimate_attributes=False)
+            assert len(want) == len(got)
+            for a, b in zip(want, got):
+                np.testing.assert_allclose(a.box, b.box, atol=1e-4)
+                np.testing.assert_allclose(
+                    [*a.eye_left, *a.eye_right],
+                    [*b.eye_left, *b.eye_right], atol=1e-3)
 
     def test_tracking_state_machine(self, loaded_model):
         """track_single_face: after a hit, the next frame scans a narrowed
