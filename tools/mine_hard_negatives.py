@@ -9,10 +9,17 @@ TRAINING-side photos, collect the detections that match no annotated face,
 and feed those exact boxes back as dedicated background-class negatives
 (``pfa-train --mined_negatives``).
 
-Safety margin: a detection is only mined when its best relative eye error
-vs every annotated face is >= ``--min_margin`` (default 0.35, above the
-0.25 TP acceptance) -- a slightly off-center detection of a REAL face must
-never be taught as background, or recall dies.
+Safety margins (BOTH required):
+- relative eye error vs every annotated face >= ``--min_margin`` (default
+  0.35, above the 0.25 TP acceptance) -- a slightly off-center detection
+  of a REAL face must never be taught as background;
+- intersection-over-min-area vs every annotated FACE BOX <=
+  ``--max_face_iom`` (default 0.3) -- eye error does not catch "the face
+  at the wrong scale": a 2x-scale window centered on a face has huge
+  relative eye error yet is exactly the cascade's intermediate
+  convergence state for the TRUE face, and teaching it as background
+  kills the face's detection basin (measured: the first ship candidate
+  lost 2 of 3 anchor faces to such boxes).
 
 ``--relax`` multiplies the calibrated final Disc cutoff to ALSO harvest
 near-threshold negatives (boxes that almost fired); these are the ones a
@@ -48,6 +55,9 @@ def main(argv=None) -> int:
     ap.add_argument("--min_margin", type=float, default=0.35,
                     help="min relative eye error vs every GT face for a "
                          "detection to count as a negative")
+    ap.add_argument("--max_face_iom", type=float, default=0.3,
+                    help="max intersection-over-min-area vs any GT face "
+                         "box (rejects face-at-wrong-scale boxes)")
     ap.add_argument("--exclude", default="",
                     help="comma-separated photo basenames to skip "
                          "(leave-one-out protocol)")
@@ -74,6 +84,13 @@ def main(argv=None) -> int:
     for fn, c in zip(filenames, coords):
         truth.setdefault(fn, []).append(np.asarray(c, np.float64))
 
+    def iom(b1, b2):
+        ix = max(0.0, min(b1[2], b2[2]) - max(b1[0], b2[0]))
+        iy = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
+        a1 = max(b1[2] - b1[0], 0.0) * max(b1[3] - b1[1], 0.0)
+        a2 = max(b2[2] - b2[0], 0.0) * max(b2[3] - b2[1], 0.0)
+        return ix * iy / max(min(a1, a2), 1e-9)
+
     lines = []
     for fn in sorted(truth):
         if os.path.basename(fn) in excluded:
@@ -88,6 +105,8 @@ def main(argv=None) -> int:
             err = min(relative_eye_error_np(eyes, r[0:4]) for r in rows)
             if err < args.min_margin:
                 continue
+            if max(iom(d.box, r[10:14]) for r in rows) > args.max_face_iom:
+                continue    # face at the wrong scale -- never a negative
             # full-resolution photo coordinates (training.real stacks the
             # un-prescaled photos)
             x0, y0, x1, y1 = (v / factor for v in d.box)
