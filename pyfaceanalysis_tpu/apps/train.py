@@ -65,6 +65,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--mined_frac", type=float, default=0.5,
                    help="extra mined negatives as a fraction of the Disc "
                         "background class size")
+    p.add_argument("--attr_cues", default="v2", choices=["v2", "v3"],
+                   help="renderer attribute-cue version for training data "
+                        "(v2 = shipped-model provenance; v3 cues were "
+                        "rejected by the round-3 held-out A/Bs)")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
@@ -72,7 +76,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     real = dict(real_frac=args.real_frac, real_bg_frac=args.real_bg_frac,
                 real_gt_file=args.real_gt_file,
                 mined_file=args.mined_negatives,
-                mined_frac=args.mined_frac, disc_node=args.disc_node,
+                mined_frac=args.mined_frac, attr_cues=args.attr_cues,
+                disc_node=args.disc_node,
                 pose_node=args.pose_node, eye_node=args.eye_node,
                 age_jitter_px=args.age_jitter_px,
                 age_jitter_scale=args.age_jitter_scale,

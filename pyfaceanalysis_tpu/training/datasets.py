@@ -40,7 +40,8 @@ FACE_SIZE_RANGE = (40.0, 110.0)
 
 
 def _render_batch(key, n, with_face=True, canvas=CANVAS,
-                  face_size_range=FACE_SIZE_RANGE, angle_range=0.0):
+                  face_size_range=FACE_SIZE_RANGE, angle_range=0.0,
+                  attr_cues="v3"):
     """Renders n canvases with randomized face size and (optionally)
     in-plane face angle. Detection-time rotation lives in the FACE (about
     the face center), not only in the extraction grid (about the box
@@ -53,7 +54,7 @@ def _render_batch(key, n, with_face=True, canvas=CANVAS,
                                 maxval=angle_range)
     fn = jax.vmap(lambda k, fs, ad: synth.render_face(
         k, canvas_hw=canvas, face_size=fs, angle_deg=ad,
-        with_face=with_face))
+        with_face=with_face, attr_cues=attr_cues))
     return jax.jit(fn)(keys, sizes, angles)
 
 
@@ -61,7 +62,8 @@ _POOL_KEYS = ("eye_l", "eye_r", "mouth", "face_size", "angle")
 
 
 def _face_canvases(key, n, angle_range, real_source=None, real_frac=0.0,
-                   canvas=CANVAS, face_size_range=FACE_SIZE_RANGE):
+                   canvas=CANVAS, face_size_range=FACE_SIZE_RANGE,
+                   attr_cues="v3"):
     """n face canvases: synthetic renders mixed with warped REAL annotated
     faces (training.real) at ratio ``real_frac``. Attrs follow the
     annotation convention of synth.render_face either way."""
@@ -70,7 +72,8 @@ def _face_canvases(key, n, angle_range, real_source=None, real_frac=0.0,
     k_syn, k_real = jax.random.split(key)
     imgs, attrs = _render_batch(k_syn, n - n_real, angle_range=angle_range,
                                 canvas=canvas,
-                                face_size_range=face_size_range)
+                                face_size_range=face_size_range,
+                                attr_cues=attr_cues)
     if n_real > 0:
         seed = int(jax.random.randint(k_real, (), 0, 2 ** 31 - 1))
         r_imgs, r_attrs = real_source.sample_faces(
@@ -138,7 +141,7 @@ def _maybe_contrast(flat, enabled: bool):
 def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  dx_range: float, dy_range: float, ang_range: float,
                  real_source=None, real_frac: float = 0.0,
-                 contrast_normalize: bool = False
+                 contrast_normalize: bool = False, attr_cues: str = "v3"
                  ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Pose-walk patches: (N, 4096) in [0,1] plus labels dx/dy/ang/scale.
 
@@ -149,7 +152,8 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     # Faces render at random in-plane angles: detection-time rotation lives
     # in the face, not only in the sampling grid.
     imgs, attrs = _face_canvases(k_face, num_faces, ang_range,
-                                 real_source, real_frac)
+                                 real_source, real_frac,
+                                 attr_cues=attr_cues)
     F = attrs["face_size"]                                       # (M,)
     theta = attrs["angle"]                                       # (M,)
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -203,7 +207,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  num_classes: int = 10, real_source=None,
                  real_frac: float = 0.0, real_bg_frac: float = 0.0,
                  contrast_normalize: bool = False,
-                 mined_frac: float = 0.0
+                 mined_frac: float = 0.0, attr_cues: str = "v3"
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Graded face-centering patches.
 
@@ -220,7 +224,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     """
     k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
     imgs, attrs = _face_canvases(k_face, num_faces, 22.5,
-                                 real_source, real_frac)
+                                 real_source, real_frac,
+                                 attr_cues=attr_cues)
     F = attrs["face_size"]
     theta = attrs["angle"]
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -267,7 +272,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     n_real_canv = (int(n_canv * real_bg_frac)
                    if real_source is not None else 0)
     bg_imgs, _ = _render_batch(k_bg, max(n_canv - n_real_canv, 1),
-                               with_face=False)
+                               with_face=False, attr_cues=attr_cues)
     if n_real_canv > 0:
         seed = int(jax.random.randint(jax.random.fold_in(k_bg, 17),
                                       (), 0, 2 ** 31 - 1))
@@ -308,6 +313,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
 
 
 def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                     *, attr_cues: str = "v3",
                      dx_r: float = 2.5, dy_r: float = 3.0, ang_r: float = 8.0,
                      logscale_r: float = 0.10,
                      real_source=None, real_frac: float = 0.0,
@@ -317,7 +323,8 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     Real faces join at ``real_frac`` so the calibrated gate admits them."""
     k_face, k_dx, k_dy, k_ang, k_s = jax.random.split(key, 5)
     imgs, attrs = _face_canvases(k_face, num_faces, 20.0,
-                                 real_source, real_frac)
+                                 real_source, real_frac,
+                                 attr_cues=attr_cues)
     F = attrs["face_size"]
     theta = attrs["angle"]
     fc_x = ((attrs["eye_l"][:, 0] + attrs["eye_r"][:, 0]) / 2.0
@@ -346,7 +353,8 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
 
 
 def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
-                real_source=None, real_frac: float = 0.0
+                real_source=None, real_frac: float = 0.0,
+                attr_cues: str = "v3"
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Eye-localization patches: 64x64 crops of eye boxes with the eye
     offset walking within +-10 label units.
@@ -361,7 +369,8 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     """
     k_face, k_dx, k_dy, k_ang, k_w, k_lr = jax.random.split(key, 6)
     imgs, attrs = _face_canvases(k_face, num_faces, 20.0,
-                                 real_source, real_frac)
+                                 real_source, real_frac,
+                                 attr_cues=attr_cues)
     F = attrs["face_size"]
     theta = attrs["angle"]
     M, T = num_faces, steps
@@ -421,7 +430,7 @@ def age_patch_constants(subimage_hw=(96, 96)):
 
 
 def age_dataset(key, n: int, chunk: int = 256, jitter_px: float = 1.5,
-                jitter_scale: float = 0.03
+                jitter_scale: float = 0.03, attr_cues: str = "v3"
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels.
 
@@ -439,7 +448,8 @@ def age_dataset(key, n: int, chunk: int = 256, jitter_px: float = 1.5,
         img, attrs = synth.render_face(
             k, canvas_hw=Z_SIZE,
             face_size=Z_FACE_SIZE * (1 + jitter_scale * jxy[2]),
-            center=(cx + jitter_px * jxy[0], cy + jitter_px * jxy[1]))
+            center=(cx + jitter_px * jxy[0], cy + jitter_px * jxy[1]),
+            attr_cues=attr_cues)
         fr, fc, tx, ty = age_patch_constants()
         patch = extract_centered_patch(img, AGE_SAMPLING, fr, fc, tx, ty,
                                        (96, 96))

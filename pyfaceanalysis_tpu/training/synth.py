@@ -74,15 +74,27 @@ def _unit_light(key: jax.Array) -> jax.Array:
 
 def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
                 face_size: float = 56.0, center=None, angle_deg: float = 0.0,
-                with_face: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+                with_face: bool = True, attr_cues: str = "v3"
+                ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Renders one face (or pure background) into a grayscale canvas in [0,1].
 
     Returns (image (H, W), attrs) where attrs holds the ground-truth
     ``age`` (years, 16-58), ``race`` (-2 black skin tone / +2 white),
     ``gender`` (-1 male / +1 female) and the ACTUAL eye/mouth positions in
     canvas coordinates (annotation convention, see module docstring). All
-    arguments may be traced scalars; the function is jit/vmap safe.
+    array arguments may be traced scalars; the function is jit/vmap safe.
+
+    ``attr_cues`` selects the attribute-cue generation ("v2" or "v3",
+    a STATIC python switch): every SHIPPED network was trained on the v2
+    distribution, and the v3 structural-aging/gender-geometry additions
+    were REJECTED for the detection stacks by the round-3 held-out A/Bs
+    (docs/ROUND3_NOTES.md sessions 6 and 12) -- the extra appearance
+    variance transfers worse. The trainer therefore renders v2 by default
+    (TrainConfig.attr_cues) so a fresh ``pfa-train`` reproduces the
+    shipped model family; measurement tools keep v3 (the harder test
+    distribution this round's panel numbers are defined on).
     """
+    v3 = attr_cues == "v3"
     H, W = canvas_hw
     ks = jax.random.split(key, 28)
     if center is None:
@@ -223,9 +235,9 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     # the v2 clip(a_norm, 0, 1) gating left ages 16-37 with nothing but
     # confounded contrast cues, feature-ceiling MAE 6.3y).
     age01 = jnp.clip((age - 16.0) / 42.0, 0.0, 1.0)
-    # Female eyes render slightly larger (real photogrammetric cue).
+    # Female eyes render slightly larger (real photogrammetric cue; v3).
     eye_w = 0.055 * (1.0 + 0.15 * jax.random.normal(kfeat[1], ())
-                     + 0.08 * (gender > 0))
+                     + (0.08 * (gender > 0) if v3 else 0.0))
 
     def blob(du, dv, su, sv):
         return jnp.exp(-((u - du) / su) ** 2 - ((v - dv) / sv) ** 2)
@@ -235,10 +247,15 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     iris_r = 0.024 * (1.0 + 0.2 * jax.random.normal(kfeat[2], ()))
     eye_dark = 0.55 + 0.10 * jax.random.normal(kfeat[3], ())
     # Lid shadow deepens and the under-eye bag darkens with age (both
-    # amplitude-jittered so neither pins the age alone).
-    lid_amp = 0.14 + 0.10 * age01 * jnp.exp(
-        0.30 * jax.random.normal(kfeat[7], ()))
-    bag_amp = 0.11 * age01 * jnp.exp(0.30 * jax.random.normal(kfeat[8], ()))
+    # amplitude-jittered so neither pins the age alone; v3 -- v2 uses the
+    # fixed lid shade and no bag).
+    if v3:
+        lid_amp = 0.14 + 0.10 * age01 * jnp.exp(
+            0.30 * jax.random.normal(kfeat[7], ()))
+        bag_amp = 0.11 * age01 * jnp.exp(
+            0.30 * jax.random.normal(kfeat[8], ()))
+    else:
+        lid_amp, bag_amp = 0.18, 0.0
     for eu, ev in ((eye_u_l, eye_y_l), (eye_u_r, eye_y_r)):
         sclera = blob(eu, ev, eye_w, 0.024)
         iris = blob(eu, ev, iris_r, iris_r)
@@ -252,9 +269,10 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     brow_d = 0.22 + 0.12 * (gender < 0)
     brow_t = 0.025 * jax.random.normal(kfeat[4], ())
     # Female brows sit measurably higher above the eye (strong 96x96-visible
-    # gender geometry); jittered so it stays a soft cue.
-    brow_lift = (0.014 * (gender > 0)
-                 + 0.006 * jax.random.normal(kfeat[9], ()))
+    # gender geometry); jittered so it stays a soft cue (v3).
+    brow_lift = ((0.014 * (gender > 0)
+                  + 0.006 * jax.random.normal(kfeat[9], ()))
+                 if v3 else 0.0)
     for eu, sgn in ((eye_u_l, -1.0), (eye_u_r, 1.0)):
         bv = EYE_Y - 0.085 - brow_lift + brow_t * sgn * (u - eu) / 0.09
         feats = feats - brow_d * jnp.exp(
@@ -297,8 +315,8 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     # folds -- not just texture amplitude (which is confounded with the
     # random skin texture): this is what makes age learnable from 96x96
     # patches. Amplitudes jittered so no single cue pins the age exactly.
-    age_w = age01 ** 1.6 * jnp.exp(
-        0.35 * jax.random.normal(ks[17], ()))
+    age_w = ((age01 ** 1.6 if v3 else jnp.clip(a_norm, 0.0, 1.0))
+             * jnp.exp(0.35 * jax.random.normal(ks[17], ())))
     # Line period ~0.16 face units =~ 11 px in the decimated 96x96 age
     # patch (a 110-rad/unit frequency aliased out entirely).
     lines = 0.5 + 0.5 * jnp.sin(v * 40.0 + 2.0 * skin_tex)
@@ -321,7 +339,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     feats = feats - age_w * (0.11 * forehead * lines
                              + 0.10 * crow * lines
                              + 0.09 * naso
-                             + 0.07 * jowl)
+                             + (0.07 if v3 else 0.0) * jowl)
 
     # --- facial hair (some males): darken jaw/lip region --------------------
     kbeard = jax.random.split(ks[10], 3)
@@ -343,14 +361,16 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     has_hair = jax.random.uniform(khair[0], ()) > 0.15
     hairline = jax.random.uniform(khair[1], (), minval=-0.42, maxval=-0.22)
     # Male-pattern hairline recession: the hairline retreats upward with
-    # age (male only, extent jittered) -- a joint age+gender cue.
-    hairline = hairline - (0.12 * age01 * (gender < 0)
-                           * jax.random.uniform(ks[20], (),
-                                                minval=0.3, maxval=1.0))
+    # age (male only, extent jittered) -- a joint age+gender cue (v3).
+    if v3:
+        hairline = hairline - (0.12 * age01 * (gender < 0)
+                               * jax.random.uniform(ks[20], (),
+                                                    minval=0.3, maxval=1.0))
     hair_tone = jax.random.uniform(khair[2], (), minval=0.04, maxval=0.45)
     # Gray hair with age (strong real-world cue): gradual onset from the
-    # mid-40s, extent jittered so hair tone alone cannot pin the age.
-    gray = (jax.nn.sigmoid((age - 47.0) / 5.0)
+    # mid-40s in v3, ~50 in v2; extent jittered so hair tone alone cannot
+    # pin the age.
+    gray = (jax.nn.sigmoid((age - 47.0) / 5.0 if v3 else (age - 52.0) / 4.0)
             * jax.random.uniform(ks[18], (), minval=0.4, maxval=1.0))
     hair_tone = hair_tone + gray * (0.78 - hair_tone)
     hair_tex = _value_noise(khair[3], (H, W), grids=(12, 48),
@@ -431,7 +451,7 @@ def render_face(key: jax.Array, canvas_hw: Tuple[int, int] = (128, 128),
     body = jnp.clip(shoulders - head, 0.0, 1.0)
     img = img * (1.0 - body) + cloth * body
     # Male necks render visibly wider (gender geometry cue at 96x96).
-    neck_w = 0.14 * (1.0 + 0.20 * (gender < 0))
+    neck_w = 0.14 * (1.0 + (0.20 * (gender < 0) if v3 else 0.0))
     neck = (jnp.exp(-(jnp.abs(u) / neck_w) ** 3)
             * jax.nn.sigmoid((v - 0.38) / 0.04)
             * jax.nn.sigmoid((sh_y + 0.12 - v) / 0.05) * (1.0 - head))

@@ -172,6 +172,13 @@ class TrainConfig:
     # class size. "" = no mining.
     mined_file: str = ""
     mined_frac: float = 0.5
+    # Renderer attribute-cue version for ALL training datasets. "v2" is
+    # the distribution every SHIPPED network was trained on; the v3
+    # structural-aging/gender-geometry cues were REJECTED for detection
+    # and attr stacks by held-out A/Bs (docs/ROUND3_NOTES.md sessions 6
+    # and 12) -- a fresh pfa-train must reproduce the shipped family.
+    # Measurement tools (eval_synth, diagnose_attrs) keep v3 scenes.
+    attr_cues: str = "v2"
     # Per-patch contrast normalization on the DETECTION patch batches
     # (pose/disc); removes global photometric domain shift between the
     # renderer and photographs. Recorded in the calibration manifest so
@@ -328,7 +335,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         x, labels = datasets.pose_dataset(
             keys[kidx], cfg.num_faces, cfg.steps_per_face, face_geom,
             *ranges, real_source=real_source, real_frac=cfg.real_frac,
-            contrast_normalize=cfg.contrast_normalize)
+            contrast_normalize=cfg.contrast_normalize,
+            attr_cues=cfg.attr_cues)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.pose_node)
         log(f"[train] {name}: fitting {len(net.specs)} layers "
@@ -364,7 +372,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             real_source=real_source, real_frac=cfg.real_frac,
             real_bg_frac=cfg.real_bg_frac,
             contrast_normalize=cfg.contrast_normalize,
-            mined_frac=cfg.mined_frac)
+            mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.disc_node)
         net = train_network(net, x, graph="clustered", labels=cls,
@@ -386,7 +394,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         x, labels = datasets.eye_dataset(keys[4], cfg.eye_faces,
                                          cfg.eye_steps, eye_geom,
                                          real_source=real_source,
-                                         real_frac=cfg.real_frac)
+                                         real_frac=cfg.real_frac,
+                                         attr_cues=cfg.attr_cues)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.eye_node)
         lab2 = np.stack([labels["x"], labels["y"]], axis=1)
@@ -408,7 +417,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         log("[train] net_age: rendering Z-frame faces...")
         x, labels = datasets.age_dataset(
             keys[5], cfg.age_samples, jitter_px=cfg.age_jitter_px,
-            jitter_scale=cfg.age_jitter_scale)
+            jitter_scale=cfg.age_jitter_scale, attr_cues=cfg.attr_cues)
         # Linear wiring like the reference's linearPCANetworkU11L, but
         # trained with a 3-label serial graph (age, race, gender) so the
         # shared feature space is attribute-discriminative, not merely
@@ -441,7 +450,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
     res = datasets.residual_dataset(keys[6], max(cfg.disc_faces // 2, 8), 20,
                                     face_geom, real_source=real_source,
                                     real_frac=cfg.real_frac,
-                                    contrast_normalize=cfg.contrast_normalize)
+                                    contrast_normalize=cfg.contrast_normalize,
+                                    attr_cues=cfg.attr_cues)
     net9 = nets["net_disc_final"]
     feats = _execute(net9, res)
     clf9 = clfs["clf_Disc9"]

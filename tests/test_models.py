@@ -218,3 +218,16 @@ def test_renderer_attribute_cues_decodable():
     # is still p < 1e-3 vs chance -- a cue-existence gate, not a quality
     # bar (that's tools/diagnose_attrs.py's job on the real 96x96 path).
     assert (np.sign(g_pred) == np.sign(g_true)).mean() >= 0.65
+
+
+def test_renderer_attr_cues_switch():
+    """attr_cues selects the v2 (shipped-provenance) vs v3 cue generation:
+    pixels differ, labels and landmark geometry are identical."""
+    import jax
+    from pyfaceanalysis_tpu.training import synth
+    k = jax.random.PRNGKey(7)
+    im2, a2 = jax.jit(lambda kk: synth.render_face(kk, attr_cues="v2"))(k)
+    im3, a3 = jax.jit(lambda kk: synth.render_face(kk, attr_cues="v3"))(k)
+    assert float(abs(im2 - im3).max()) > 1e-3
+    for key in ("age", "race", "gender", "eye_l", "eye_r", "mouth"):
+        np.testing.assert_allclose(np.asarray(a2[key]), np.asarray(a3[key]))
