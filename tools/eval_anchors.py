@@ -39,9 +39,10 @@ def main(argv=None) -> int:
                          "scores age/race/gender heads on matched faces")
     ap.add_argument("--eye_iters", type=int, default=1,
                     help="eye-localization refinement passes")
-    ap.add_argument("--matmul_dtype", default="f32",
-                    choices=["f32", "bf16"],
-                    help="network GEMM operand dtype")
+    ap.add_argument("--matmul_dtype", default="",
+                    choices=["", "f32", "bf16"],
+                    help="network GEMM operand dtype; default '' = the "
+                         "production DetectorConfig default")
     args = ap.parse_args(argv)
 
     from pyfaceanalysis_tpu.config import DetectorConfig
@@ -65,7 +66,8 @@ def main(argv=None) -> int:
     model = DetectionModel.load(args.model)
     det = FaceDetector(model, DetectorConfig(
         smallest_face=args.smallest_face, eye_iters=args.eye_iters,
-        matmul_dtype=args.matmul_dtype))
+        **({"matmul_dtype": args.matmul_dtype}
+           if args.matmul_dtype else {})))
     filenames, _ = load_true_coordinates("", args.anchors)
     per_photo = []
     attr_rows = []

@@ -57,8 +57,9 @@ def main(argv=None) -> int:
     p.add_argument("--pos_gain", type=float, default=-1.0)
     p.add_argument("--eye_iters", type=int, default=1,
                    help="eye-localization refinement passes (config.eye_iters)")
-    p.add_argument("--matmul_dtype", default="f32", choices=["f32", "bf16"],
-                   help="network GEMM operand dtype (config.matmul_dtype)")
+    p.add_argument("--matmul_dtype", default="", choices=["", "f32", "bf16"],
+                   help="network GEMM operand dtype; default '' = the "
+                        "production DetectorConfig default")
     p.add_argument("--arg_tta", type=int, default=1,
                    help="crops averaged per face by the attribute heads")
     p.add_argument("--chunk", type=int, default=16,
@@ -79,7 +80,8 @@ def main(argv=None) -> int:
                          tolerance_xy_eye=args.eye_tol,
                          pos_gain=args.pos_gain, arg_tta=args.arg_tta,
                          eye_iters=args.eye_iters,
-                         matmul_dtype=args.matmul_dtype)
+                         **({"matmul_dtype": args.matmul_dtype}
+                            if args.matmul_dtype else {}))
     det = FaceDetector(model, cfg)
 
     rng = np.random.RandomState(args.seed)
