@@ -68,6 +68,9 @@ TPU-native extensions:
   --eye_iters=K               eye-localization refinement passes; the eye
                               nets re-run on the re-centered boxes (the
                               too-far gate always uses pass 1; default 1)
+  --arg_eyes=pass1|refined    eye estimate the age/race/gender heads
+                              normalize from (refined needs eye_iters>1;
+                              detection output unchanged)
 """
 
 _LONG_OPTS = [
@@ -82,6 +85,7 @@ _LONG_OPTS = [
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
     "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=", "eye_iters=",
+    "arg_eyes=",
 ]
 
 
@@ -179,6 +183,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg_kw["arg_tta"] = int(a)
         elif o == "--eye_iters":
             cfg_kw["eye_iters"] = int(a)
+        elif o == "--arg_eyes":
+            cfg_kw["arg_eyes"] = a
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):

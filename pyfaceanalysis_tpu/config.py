@@ -132,6 +132,16 @@ class DetectorConfig:
     # (tiny) head FLOPs for robustness to eye-localization jitter.
     arg_tta: int = 1
 
+    # Which eye estimate the age/race/gender heads consume (TPU extension).
+    # "pass1" = reference parity (the single eye pass the gate/NMS also
+    # use). "refined" = the eye_iters>1 refined centers, when the block
+    # carries them (cols 11-14); detection output is unchanged either way
+    # -- only the Z-frame the attribute heads normalize from moves. Pair
+    # with an age stack trained at the matching (lower) eye-jitter
+    # distribution: the shipped r2 stack was trained at pass-1 noise and
+    # measurably degrades on refined eyes (docs/ROUND3_NOTES.md session 12).
+    arg_eyes: str = "pass1"
+
     # Save the 96x96 age-head input patches (the reference writes
     # ImageForAgeEstimation%03d.jpg unconditionally, face_analysis.py:1251;
     # here opt-in).

@@ -166,6 +166,23 @@ def _block_rows(block: np.ndarray) -> np.ndarray:
     return rows[:, :10]
 
 
+def _arg_rows(rows: np.ndarray, cfg) -> np.ndarray:
+    """Rows as the attribute heads should see them.
+
+    Default: the rows themselves (heads read the pass-1 eyes in cols 5:9,
+    like the gate and NMS). With ``config.arg_eyes == "refined"`` and a
+    block that carries refined centers (eye_iters > 1, cols 10:14 of the
+    host row layout), the refined eyes replace cols 5:9 so the Z-frame
+    normalization of the heads starts from the better eye estimate. The
+    returned array is a copy; detection rows are never mutated.
+    """
+    if getattr(cfg, "arg_eyes", "pass1") != "refined" or rows.shape[-1] < 14:
+        return rows
+    out = np.array(rows[:, :10])
+    out[:, 5:9] = rows[:, 10:14]
+    return out
+
+
 def _row_eyes(r) -> Tuple[Tuple[float, float], Tuple[float, float]]:
     """REPORTED eye centers of a purged row: the refined pass when present
     (cols 10:14), else the pass-1 positions (cols 5:9)."""
@@ -606,10 +623,10 @@ class FaceDetector:
         if estimate_attributes and (cfg.estimate_age or cfg.estimate_race or
                                     cfg.estimate_gender):
             ages, stds, races, genders = heads_mod.estimate_age_race_gender(
-                device_image, purged, model, tta=cfg.arg_tta)
+                device_image, _arg_rows(purged, cfg), model, tta=cfg.arg_tta)
             if cfg.save_age_estimation_images:
                 self._age_image_index = heads_mod.save_age_estimation_images(
-                    device_image, purged,
+                    device_image, _arg_rows(purged, cfg),
                     start_index=getattr(self, "_age_image_index", 0))
         for j, r in enumerate(purged):
             el, er = _row_eyes(r)
@@ -814,7 +831,8 @@ class FaceDetector:
         counts = [len(p) for p in purged_per_image]
         if want_attrs and sum(counts) > 0:
             all_rows = np.concatenate(
-                [p for p in purged_per_image if len(p)], axis=0)
+                [_arg_rows(p, cfg) for p in purged_per_image if len(p)],
+                axis=0)
             img_idx = np.concatenate(
                 [np.full(c, i, np.int32) for i, c in enumerate(counts)])
             stack = (device_images if isinstance(device_images, jax.Array)

@@ -351,6 +351,39 @@ class TestDetectEndToEnd:
         # pass 2 actually ran: random eye nets shift re-centered boxes
         assert moved > 0.0
 
+    def test_arg_eyes_refined_changes_attrs_only(self, loaded_model):
+        """arg_eyes="refined" feeds the eye_iters>1 refined centers to the
+        attribute heads: detection geometry and reported eyes are
+        bit-identical to arg_eyes="pass1" at the same eye_iters; only the
+        attribute values may move (different Z-frame normalization)."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector, _arg_rows
+        kw = dict(smallest_face=0.4, eye_iters=2,
+                  bucket_sizes=(256, 1024, 4096),
+                  cut_offs_face=(1.01,) * 10)
+        rng = np.random.RandomState(3)
+        image = rng.rand(120, 140).astype(np.float32)
+        base = FaceDetector(loaded_model, DetectorConfig(**kw)).detect(image)
+        ref = FaceDetector(
+            loaded_model,
+            DetectorConfig(arg_eyes="refined", **kw)).detect(image)
+        assert len(base) == len(ref) > 0
+        for a, b in zip(base, ref):
+            np.testing.assert_array_equal(a.box, b.box)
+            assert a.angle == b.angle and a.confidence == b.confidence
+            np.testing.assert_array_equal(a.eye_left, b.eye_left)
+            np.testing.assert_array_equal(a.eye_right, b.eye_right)
+            assert np.isfinite([b.age, b.race_value, b.gender_value]).all()
+        # the swap helper itself: refined cols replace 5:9, source untouched
+        rows = np.arange(2 * 14, dtype=np.float64).reshape(2, 14)
+        cfg_ref = DetectorConfig(arg_eyes="refined")
+        swapped = _arg_rows(rows, cfg_ref)
+        np.testing.assert_array_equal(swapped[:, 5:9], rows[:, 10:14])
+        np.testing.assert_array_equal(swapped[:, :5], rows[:, :5])
+        assert rows[0, 5] == 5.0  # input not mutated
+        # without refined cols (eye_iters=1 block), refined = no-op
+        np.testing.assert_array_equal(
+            _arg_rows(rows[:, :10], cfg_ref), rows[:, :10])
+
     def test_eye_iters_fused_batch_matches_single(self, loaded_model):
         """The fused multi-image block carries the refined-eye columns
         too: detect_batch at eye_iters=2 equals per-image detect."""

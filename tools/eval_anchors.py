@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                          "scores age/race/gender heads on matched faces")
     ap.add_argument("--eye_iters", type=int, default=1,
                     help="eye-localization refinement passes")
+    ap.add_argument("--arg_eyes", default="pass1",
+                    choices=["pass1", "refined"],
+                    help="eye estimate consumed by the attribute heads "
+                         "(refined needs --eye_iters>1)")
     ap.add_argument("--matmul_dtype", default="",
                     choices=["", "f32", "bf16"],
                     help="network GEMM operand dtype; default '' = the "
@@ -66,6 +70,7 @@ def main(argv=None) -> int:
     model = DetectionModel.load(args.model)
     det = FaceDetector(model, DetectorConfig(
         smallest_face=args.smallest_face, eye_iters=args.eye_iters,
+        arg_eyes=args.arg_eyes,
         **({"matmul_dtype": args.matmul_dtype}
            if args.matmul_dtype else {})))
     filenames, _ = load_true_coordinates("", args.anchors)

@@ -62,6 +62,10 @@ def main(argv=None) -> int:
                         "production DetectorConfig default")
     p.add_argument("--arg_tta", type=int, default=1,
                    help="crops averaged per face by the attribute heads")
+    p.add_argument("--arg_eyes", default="pass1",
+                   choices=["pass1", "refined"],
+                   help="eye estimate consumed by the attribute heads "
+                        "(refined needs --eye_iters>1)")
     p.add_argument("--chunk", type=int, default=16,
                    help="images per fused detect_batch dispatch")
     p.add_argument("--json", default=None,
@@ -79,7 +83,7 @@ def main(argv=None) -> int:
     cfg = DetectorConfig(smallest_face=args.smallest_face,
                          tolerance_xy_eye=args.eye_tol,
                          pos_gain=args.pos_gain, arg_tta=args.arg_tta,
-                         eye_iters=args.eye_iters,
+                         eye_iters=args.eye_iters, arg_eyes=args.arg_eyes,
                          **({"matmul_dtype": args.matmul_dtype}
                             if args.matmul_dtype else {}))
     det = FaceDetector(model, cfg)
