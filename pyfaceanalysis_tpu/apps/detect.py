@@ -71,6 +71,9 @@ TPU-native extensions:
   --arg_eyes=pass1|refined    eye estimate the age/race/gender heads
                               normalize from (refined needs eye_iters>1;
                               detection output unchanged)
+  --eye_report=refined|pass1  which eye pass the output rows report when
+                              eye_iters>1 (pass1 keeps the output
+                              bit-identical to eye_iters=1)
 """
 
 _LONG_OPTS = [
@@ -85,7 +88,7 @@ _LONG_OPTS = [
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
     "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=", "eye_iters=",
-    "arg_eyes=",
+    "arg_eyes=", "eye_report=",
 ]
 
 
@@ -185,6 +188,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg_kw["eye_iters"] = int(a)
         elif o == "--arg_eyes":
             cfg_kw["arg_eyes"] = a
+        elif o == "--eye_report":
+            cfg_kw["eye_report"] = a
         elif o in ("--display_errors", "--display_plots",
                    "--show_final_detection", "--network_figures_together",
                    "--camera_enabled", "--pygame_display"):

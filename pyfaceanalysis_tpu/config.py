@@ -132,6 +132,17 @@ class DetectorConfig:
     # (tiny) head FLOPs for robustness to eye-localization jitter.
     arg_tta: int = 1
 
+    # Which eye pass the REPORTED eye coordinates come from when
+    # eye_iters > 1 (TPU extension). "refined" = the last refinement pass
+    # (the point of opting into eye_iters). "pass1" = report the pass-1
+    # positions anyway -- combined with arg_eyes="refined" this lets the
+    # attribute heads consume the better eyes while every user-visible
+    # detection output stays bit-identical to eye_iters=1 (the refined
+    # REPORTING default was rejected by the round-3 held-out panel: one
+    # borderline face's refined eyes crossed the 0.25 acceptance line,
+    # docs/ROUND3_NOTES.md session 13).
+    eye_report: str = "refined"
+
     # Which eye estimate the age/race/gender heads consume (TPU extension).
     # "pass1" = reference parity (the single eye pass the gate/NMS also
     # use). "refined" = the eye_iters>1 refined centers, when the block

@@ -183,10 +183,18 @@ def _arg_rows(rows: np.ndarray, cfg) -> np.ndarray:
     return out
 
 
-def _row_eyes(r) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+def _row_eyes(r, cfg=None) -> Tuple[Tuple[float, float],
+                                    Tuple[float, float]]:
     """REPORTED eye centers of a purged row: the refined pass when present
-    (cols 10:14), else the pass-1 positions (cols 5:9)."""
-    e = r[10:14] if len(r) >= 14 else r[5:9]
+    (cols 10:14), else the pass-1 positions (cols 5:9). With
+    ``config.eye_report == "pass1"`` the pass-1 positions are reported even
+    when refined centers exist (so eye_iters>1 can serve the attribute
+    heads via arg_eyes="refined" while every user-visible output stays
+    bit-identical to eye_iters=1)."""
+    report_refined = (len(r) >= 14 and
+                      (cfg is None or
+                       getattr(cfg, "eye_report", "refined") == "refined"))
+    e = r[10:14] if report_refined else r[5:9]
     return (float(e[0]), float(e[1])), (float(e[2]), float(e[3]))
 
 
@@ -629,7 +637,7 @@ class FaceDetector:
                     device_image, _arg_rows(purged, cfg),
                     start_index=getattr(self, "_age_image_index", 0))
         for j, r in enumerate(purged):
-            el, er = _row_eyes(r)
+            el, er = _row_eyes(r, cfg)
             det_list.append(Detection(
                 box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
                 eye_left=el, eye_right=er,
@@ -847,7 +855,7 @@ class FaceDetector:
             dets = []
             for j, r in enumerate(purged):
                 k = offset + j
-                el, er = _row_eyes(r)
+                el, er = _row_eyes(r, cfg)
                 dets.append(Detection(
                     box=tuple(float(v) for v in r[0:4]), angle=float(r[4]),
                     eye_left=el, eye_right=er,

@@ -384,6 +384,27 @@ class TestDetectEndToEnd:
         np.testing.assert_array_equal(
             _arg_rows(rows[:, :10], cfg_ref), rows[:, :10])
 
+    def test_eye_report_pass1_matches_k1_output_exactly(self, loaded_model):
+        """eye_iters=2 + eye_report="pass1" + arg_eyes="refined": every
+        user-visible detection field (box, angle, confidence, REPORTED
+        eyes) is bit-identical to plain eye_iters=1 -- the refinement pass
+        serves only the attribute heads."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        kw = dict(smallest_face=0.4, bucket_sizes=(256, 1024, 4096),
+                  cut_offs_face=(1.01,) * 10)
+        rng = np.random.RandomState(3)
+        image = rng.rand(120, 140).astype(np.float32)
+        base = FaceDetector(loaded_model, DetectorConfig(**kw)).detect(image)
+        cand = FaceDetector(loaded_model, DetectorConfig(
+            eye_iters=2, eye_report="pass1", arg_eyes="refined",
+            **kw)).detect(image)
+        assert len(base) == len(cand) > 0
+        for a, b in zip(base, cand):
+            np.testing.assert_array_equal(a.box, b.box)
+            assert a.angle == b.angle and a.confidence == b.confidence
+            np.testing.assert_array_equal(a.eye_left, b.eye_left)
+            np.testing.assert_array_equal(a.eye_right, b.eye_right)
+
     def test_eye_iters_fused_batch_matches_single(self, loaded_model):
         """The fused multi-image block carries the refined-eye columns
         too: detect_batch at eye_iters=2 equals per-image detect."""

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                     choices=["pass1", "refined"],
                     help="eye estimate consumed by the attribute heads "
                          "(refined needs --eye_iters>1)")
+    ap.add_argument("--eye_report", default="refined",
+                    choices=["refined", "pass1"],
+                    help="which eye pass the detections report when "
+                         "eye_iters>1")
     ap.add_argument("--matmul_dtype", default="",
                     choices=["", "f32", "bf16"],
                     help="network GEMM operand dtype; default '' = the "
@@ -70,7 +74,7 @@ def main(argv=None) -> int:
     model = DetectionModel.load(args.model)
     det = FaceDetector(model, DetectorConfig(
         smallest_face=args.smallest_face, eye_iters=args.eye_iters,
-        arg_eyes=args.arg_eyes,
+        arg_eyes=args.arg_eyes, eye_report=args.eye_report,
         **({"matmul_dtype": args.matmul_dtype}
            if args.matmul_dtype else {})))
     filenames, _ = load_true_coordinates("", args.anchors)

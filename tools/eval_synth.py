@@ -66,6 +66,10 @@ def main(argv=None) -> int:
                    choices=["pass1", "refined"],
                    help="eye estimate consumed by the attribute heads "
                         "(refined needs --eye_iters>1)")
+    p.add_argument("--eye_report", default="refined",
+                   choices=["refined", "pass1"],
+                   help="which eye pass the detections report when "
+                        "eye_iters>1")
     p.add_argument("--chunk", type=int, default=16,
                    help="images per fused detect_batch dispatch")
     p.add_argument("--json", default=None,
@@ -83,7 +87,7 @@ def main(argv=None) -> int:
     cfg = DetectorConfig(smallest_face=args.smallest_face,
                          tolerance_xy_eye=args.eye_tol,
                          pos_gain=args.pos_gain, arg_tta=args.arg_tta,
-                         eye_iters=args.eye_iters, arg_eyes=args.arg_eyes,
+                         eye_iters=args.eye_iters, arg_eyes=args.arg_eyes, eye_report=args.eye_report,
                          **({"matmul_dtype": args.matmul_dtype}
                             if args.matmul_dtype else {}))
     det = FaceDetector(model, cfg)
