@@ -63,6 +63,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out_height", type=int, default=192)
     p.add_argument("--base_dir", default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--background", choices=("zero", "random"),
+                   default="zero",
+                   help="fill for out-of-frame pixels: zero (PIL EXTENT "
+                   "black) or random noise (the reference's "
+                   "im_transform_randombackground, "
+                   "face_normalization_tools.py:53,316)")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu import normalization
@@ -91,7 +97,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             out = normalization.normalize_image(
                 image, (elx, ely, erx, ery, mx, my),
                 normalization_method=method, centering_mode=centering,
-                rotation_mode=rotation, out_size=out_size, rng=rng)
+                rotation_mode=rotation, out_size=out_size, rng=rng,
+                background=args.background)
             im_io.save_image(args.output_pattern % written, out, quality=90)
             written += 1
     print(f"wrote {written} normalized images")

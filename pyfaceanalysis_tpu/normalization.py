@@ -124,10 +124,19 @@ def frame_params(coords, normalization_method: str = "eyes_mouth_area",
 
 
 def sample_frame(image: jax.Array, fp: FrameParams,
-                 out_size: Tuple[int, int]) -> jax.Array:
+                 out_size: Tuple[int, int], background: str = "zero",
+                 noise_key: Optional[jax.Array] = None) -> jax.Array:
     """Samples the normalized frame from a grayscale image.
 
     out_size is (width, height); returns (height, width) in [0, 1].
+
+    background: fill for output pixels whose sampling point leaves the
+    source frame. "zero" (default) matches PIL EXTENT's black fill;
+    "random" fills them with uniform noise like the reference's
+    ``im_transform_randombackground``
+    (face_normalization_tools.py:53-106,316) -- per-pixel randint(256)
+    there, per-pixel uniform [0,1) here -- which avoids the black-border
+    bias in training crops of faces near the frame edge.
     """
     ow, oh = out_size
     X = jnp.arange(ow, dtype=jnp.float32) - (ow - 1) / 2.0
@@ -139,6 +148,13 @@ def sample_frame(image: jax.Array, fp: FrameParams,
     sx = fp.center_x + c * u + (-s) * v
     sy = fp.center_y + s * u + c * v
     out = _bilinear_gather(image, sx, sy)
+    if background == "random":
+        H, W = image.shape
+        key = noise_key if noise_key is not None else jax.random.PRNGKey(0)
+        oob = (sx < 0) | (sx > W - 1) | (sy < 0) | (sy > H - 1)
+        out = jnp.where(oob, jax.random.uniform(key, out.shape), out)
+    elif background != "zero":
+        raise ValueError(f"unknown background {background!r}")
     if fp.mirror:
         out = out[:, ::-1]
     return out
@@ -174,12 +190,22 @@ def normalize_image(image, coords,
                     centering_mode: str = "mid_eyes_mouth",
                     rotation_mode: str = "noRotation",
                     out_size: Tuple[int, int] = (256, 192),
-                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+                    rng: Optional[np.random.RandomState] = None,
+                    background: str = "zero") -> np.ndarray:
     """Host convenience wrapper: (H, W) array in [0,1] -> normalized array.
 
     Mirrors the reference's ``normalize_image`` signature semantics (minus
-    PIL); used by the dataset-normalization tools.
+    PIL); used by the dataset-normalization tools. background="random"
+    fills out-of-frame pixels with noise (seeded from ``rng``) like the
+    reference's allow_random_background path
+    (face_normalization_tools.py:53,316).
     """
     fp = frame_params(coords, normalization_method, centering_mode,
                       rotation_mode, rng=rng, out_size=out_size)
-    return np.asarray(sample_frame(jnp.asarray(image), fp, out_size))
+    noise_key = None
+    if background == "random":
+        seed = (rng or np.random.RandomState()).randint(2 ** 31)
+        noise_key = jax.random.PRNGKey(seed)
+    return np.asarray(sample_frame(jnp.asarray(image), fp, out_size,
+                                   background=background,
+                                   noise_key=noise_key))

@@ -241,6 +241,30 @@ class TestNormalizationGeometry:
         assert abs(xx - 90.0) < 2.0
         assert abs(yy - 86.93) < 2.0
 
+    def test_random_background_fills_edge_crops(self):
+        """A face near the frame edge: background='zero' leaves black
+        out-of-frame bands, background='random' fills them with noise and
+        keeps in-frame pixels identical (reference
+        im_transform_randombackground, face_normalization_tools.py:53,316)."""
+        img = np.full((120, 120), 0.5, np.float32)
+        # eyes near the left edge -> the crop window leaves the frame
+        coords = (8.0, 60.0, 45.0, 60.0, 26.5, 102.0)
+        rng = np.random.RandomState(7)
+        out_z = normalization.normalize_image(
+            img, coords, "eyes_mouth_area", "mid_eyes_mouth",
+            out_size=(128, 128), background="zero")
+        out_r = normalization.normalize_image(
+            img, coords, "eyes_mouth_area", "mid_eyes_mouth",
+            out_size=(128, 128), rng=rng, background="random")
+        # source is constant 0.5: fully-in-frame pixels are exactly 0.5,
+        # fully-out pixels exactly 0, a thin bilinear blend ring between.
+        oob = out_z == 0.0
+        inb = out_z == 0.5
+        assert oob.any()                       # edge face -> black band
+        assert (out_r[oob] > 0).mean() > 0.9   # noise fill, not black
+        assert out_r[oob].std() > 0.2          # uniform noise, not constant
+        np.testing.assert_allclose(out_r[inb], out_z[inb], atol=1e-6)
+
     def test_eyer_mode_mirrors(self):
         img = np.random.RandomState(0).rand(100, 100).astype(np.float32)
         coords = (30.0, 50.0, 67.0, 50.0, 48.5, 92.0)

@@ -134,6 +134,25 @@ def test_duplicate_detection_counts_as_false_positive():
     assert ev.false_negatives == 0
 
 
+def test_crowded_scene_greedy_assignment():
+    """Two overlapping faces: per-detection argmin would send BOTH
+    detections to face 0 (one FP, one FN); greedy assignment over the
+    full error matrix credits the second detection to the unmatched
+    face 1, which is within tolerance (VERDICT r3 weak #6)."""
+    truth = {"img.jpg": np.stack([_truth_row(100, 100, 140, 100),
+                                  _truth_row(108, 100, 148, 100)])}
+    ev = GroundTruthEvaluator(truth)
+    dets = [
+        _Det((100, 100), (140, 100)),   # exact face 0
+        # closest to face 0 (err 3/40) but face 1 also matches (err 5/40)
+        _Det((103, 100), (143, 100)),
+    ]
+    ev.record("img.jpg", dets)
+    assert ev.true_positives == 2
+    assert ev.false_positives == 0
+    assert ev.false_negatives == 0
+
+
 def test_display_errors_prints_per_detection_lines(capsys):
     truth = {"img.jpg": np.stack([_truth_row(100, 100, 140, 100)])}
     ev = GroundTruthEvaluator(truth, display_errors=True)
