@@ -69,6 +69,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="renderer attribute-cue version for training data "
                         "(v2 = shipped-model provenance; v3 cues were "
                         "rejected by the round-3 held-out A/Bs)")
+    p.add_argument("--disc_seeds", default="",
+                   help="comma-separated dataset seeds for multi-seed disc "
+                        "training; each candidate is ladder-calibrated and "
+                        "scored on a training-side panel + the real "
+                        "anchors, and the declared-rule winner is shipped "
+                        "(single-seed disc variance exceeds the ship guard "
+                        "band -- docs/ROUND4_NOTES.md). '' = single train")
+    p.add_argument("--selection_scenes", type=int, default=48,
+                   help="panel size for multi-seed disc selection")
+    p.add_argument("--no_calibrate", action="store_true",
+                   help="skip the automatic disc-ladder + eye-gate "
+                        "calibration (training.calibration) after training")
+    p.add_argument("--calib_scenes", type=int, default=40)
+    p.add_argument("--data_mesh", type=int, default=0,
+                   help="shard every network's moment accumulation over an "
+                        "N-device data mesh (GSPMD; 0 = single device)")
     args = p.parse_args(argv)
 
     from pyfaceanalysis_tpu.training.trainer import TrainConfig, train_pipeline
@@ -82,8 +98,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                 age_jitter_px=args.age_jitter_px,
                 age_jitter_scale=args.age_jitter_scale,
                 pose_classes=args.pose_classes,
-                pose_head=args.pose_head)
+                pose_head=args.pose_head,
+                disc_seeds=tuple(int(s) for s in args.disc_seeds.split(",")
+                                 if s),
+                selection_scenes=args.selection_scenes,
+                calibrate=not args.no_calibrate,
+                calib_scenes=args.calib_scenes)
     if args.quick:
+        real.update(calib_scenes=min(args.calib_scenes, 6),
+                    selection_scenes=min(args.selection_scenes, 6))
         cfg = TrainConfig(num_faces=24, steps_per_face=16, disc_faces=24,
                           disc_steps=16, eye_faces=20, eye_steps=16,
                           age_samples=400, seed=args.seed,
@@ -99,7 +122,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                           train_final_disc=not args.no_final_disc, **real)
     t0 = time.time()
     reuse = tuple(s for s in args.reuse.split(",") if s)
-    train_pipeline(args.out_dir, cfg, reuse=reuse)
+    train_pipeline(args.out_dir, cfg, reuse=reuse,
+                   data_mesh=args.data_mesh)
     print(f"training finished in {time.time() - t0:.1f}s -> {args.out_dir}")
     return 0
 

@@ -72,3 +72,22 @@ class _null:
 
     def __exit__(self, *a):
         return False
+
+
+def sharded_train_network(mesh: Mesh, net, x, graph: str = "serial",
+                          labels=None, num_groups: int = 50,
+                          label_weights=None, verbose: bool = False):
+    """The PRODUCTION trainer's layer-wise step under a data mesh.
+
+    Unlike :func:`gsfa_step` (a self-contained temporal-graph demo kept for
+    the minimal dp x tp example), this drives the real
+    ``training.trainer.train_network`` -- serial/clustered graph moments
+    (models.moments), iGSFA solves, the lot -- with the sample axis sharded
+    over ``mesh``'s "data" axis. ``pfa-train --data_mesh=N`` and the
+    multi-chip dry run both go through here, so the path the dry run
+    validates IS the path the trainer runs.
+    """
+    from pyfaceanalysis_tpu.training.trainer import train_network
+    return train_network(net, x, graph=graph, labels=labels,
+                         num_groups=num_groups, label_weights=label_weights,
+                         verbose=verbose, mesh=mesh)

@@ -1,0 +1,150 @@
+"""Training-side candidate scoring + the multi-seed disc selection rule.
+
+Round-3's campaigns measured single-seed disc-retrain variance directly:
+six candidates from one protocol spanned panel FP/img 0.875-2.083, recall
+0.75-0.854 and anchors FP 10-20 (docs/ROUND4_NOTES.md) -- larger than any
+effect being A/B'd and larger than the ship guard band. A single-seed
+``pfa-train`` therefore ships a lottery ticket. The fix implemented here
+(VERDICT r3 next-step #1): the trainer trains the disc nets K times on K
+dataset seeds, scores every candidate on a TRAINING-SIDE panel (held-out
+seeds stay untouched for guards), and ships the winner of a declared rule.
+Shipped quality becomes the expected max over K seeds -- reproducible by a
+fresh rerun -- instead of curated luck.
+
+Scoring = detection-only quality (the disc nets gate detection; attribute
+heads are shared across candidates): synthetic-scene recall + FP/img
+(training.synth renderer, the tools/eval_synth.py criterion) and real-photo
+anchors TP/FP/FN (data/train_faces_gt.txt; TNS-Group.jpg is EVAL-ONLY and
+must never be scored here).
+
+Selection rule (declared; mirrors the ship guard shape):
+1. eliminate candidates with anchors FN > 0 or TP < 3 (must find every
+   real face);
+2. among candidates with panel recall >= recall_floor, pick the LOWEST
+   panel FP/img (ties: lower anchors FP);
+3. if none reaches the floor, pick the highest recall.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def score_panel(det, n_scenes: int = 48, seed: int = 777,
+                canvas: int = 320, face_size=(70.0, 150.0),
+                chunk: int = 16) -> Dict:
+    """Synthetic-scene recall / FP/img of ``det`` (a FaceDetector).
+
+    Same scene distribution and acceptance criterion (rel eye error < 0.25,
+    FaceDetectUpdated.py:887) as tools/eval_synth.py, without the attribute
+    legs (disc candidates share the attribute heads)."""
+    import jax
+
+    from pyfaceanalysis_tpu.engine.nms import relative_eye_error_np
+    from pyfaceanalysis_tpu.training import synth
+
+    rng = np.random.RandomState(seed)
+    scenes, truths = [], []
+    for i in range(n_scenes):
+        F = rng.uniform(*face_size)
+        margin = 0.8 * F
+        cx = rng.uniform(margin, canvas - margin)
+        cy = rng.uniform(margin, canvas - margin)
+        key = jax.random.PRNGKey(seed * 100000 + i)
+        img, attrs = synth.render_face(
+            key, canvas_hw=(canvas, canvas), face_size=F,
+            center=(cx, cy), angle_deg=0.0)
+        scenes.append(np.asarray(img))
+        truths.append(np.concatenate([np.asarray(attrs["eye_l"]),
+                                      np.asarray(attrs["eye_r"])]))
+
+    tp = 0
+    fp = 0
+    for k in range(0, n_scenes, chunk):
+        dets = det.detect_batch(scenes[k: k + chunk],
+                                estimate_attributes=False)
+        for j, out in enumerate(dets):
+            true_eyes = truths[k + j]
+            matched = False
+            for d in out:
+                eyes = np.array([*d.eye_left, *d.eye_right])
+                if relative_eye_error_np(eyes, true_eyes) < 0.25:
+                    if matched:
+                        fp += 1          # duplicate of a matched face
+                    matched = True
+                else:
+                    fp += 1
+            tp += int(matched)
+    return {"recall": tp / max(n_scenes, 1),
+            "fp_per_image": fp / max(n_scenes, 1),
+            "scenes": n_scenes, "seed": seed}
+
+
+def score_anchors(det, anchors: str = "data/train_faces_gt.txt") -> Dict:
+    """Real-photo TP/FP/FN on the training anchors (tools/eval_anchors.py
+    core, detection-only)."""
+    from pyfaceanalysis_tpu.engine.evaluation import GroundTruthEvaluator
+    from pyfaceanalysis_tpu.io.images import load_image
+    from pyfaceanalysis_tpu.io.writers import load_true_coordinates
+
+    filenames, _ = load_true_coordinates("", anchors)
+    tot = dict(tp=0, fp=0, fn=0)
+    for fn in sorted(set(filenames)):
+        ev = GroundTruthEvaluator.from_files(anchors)
+        image, factor = load_image(fn, 1000)
+        dets = det.detect(image, estimate_attributes=False)
+        ev.record(fn, dets, prescale_factor=factor)
+        tot["tp"] += ev.true_positives
+        tot["fp"] += ev.false_positives
+        tot["fn"] += ev.false_negatives
+    return tot
+
+
+def score_candidate(model_dir: str, n_scenes: int = 48,
+                    panel_seed: int = 777,
+                    anchors: str = "data/train_faces_gt.txt",
+                    smallest_face: float = 0.15) -> Dict:
+    """Full training-side score of one candidate artifact directory."""
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import (DetectionModel,
+                                                    FaceDetector)
+
+    model = DetectionModel.load(model_dir)
+    det = FaceDetector(model, DetectorConfig(smallest_face=smallest_face))
+    out = score_panel(det, n_scenes=n_scenes, seed=panel_seed)
+    if anchors and os.path.exists(anchors):
+        det_a = FaceDetector(model, DetectorConfig(smallest_face=0.1))
+        out["anchors"] = score_anchors(det_a, anchors)
+    return out
+
+
+def select(scores: Sequence[Dict], recall_floor: float = 0.73,
+           verbose: bool = True) -> Optional[int]:
+    """Applies the declared rule to a list of score dicts (each optionally
+    carrying "anchors"); returns the winning index or None if every
+    candidate is eliminated."""
+    rows: List[Dict] = []
+    for i, s in enumerate(scores):
+        a = s.get("anchors") or {}
+        eliminated = bool(a) and (a.get("fn", 0) > 0 or a.get("tp", 0) < 3)
+        rows.append(dict(i=i, recall=s["recall"], fp=s["fp_per_image"],
+                         a_fp=a.get("fp", 0), eliminated=eliminated))
+    if verbose:
+        for r, s in zip(rows, scores):
+            a = s.get("anchors")
+            atxt = (f"{a['tp']}TP/{a['fp']}FP/{a['fn']}FN" if a else "-")
+            print(f"  candidate {r['i']}: recall {r['recall']:.4f} "
+                  f"FP/img {r['fp']:.4f} anchors {atxt}"
+                  f"{'  ELIMINATED' if r['eliminated'] else ''}", flush=True)
+    alive = [r for r in rows if not r["eliminated"]]
+    if not alive:
+        return None
+    floor = [r for r in alive if r["recall"] >= recall_floor]
+    if floor:
+        floor.sort(key=lambda r: (r["fp"], r["a_fp"]))
+        return floor[0]["i"]
+    alive.sort(key=lambda r: -r["recall"])
+    return alive[0]["i"]

@@ -54,7 +54,7 @@ def train_network(net: HierarchicalNetwork, x: np.ndarray,
                   graph: str = "temporal",
                   labels: Optional[np.ndarray] = None,
                   num_groups: int = 50, verbose: bool = True,
-                  label_weights=None) -> HierarchicalNetwork:
+                  label_weights=None, mesh=None) -> HierarchicalNetwork:
     """Trains all layers of ``net`` on (N, D_in) data with one shared graph.
 
     Data lives on device throughout; each layer costs one gather+expand and
@@ -62,11 +62,32 @@ def train_network(net: HierarchicalNetwork, x: np.ndarray,
     (models.moments). Nothing larger than the layer weights crosses the
     host boundary (tunneled-TPU device->host bandwidth is the scarce
     resource).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a "data" axis) the sample
+    axis is sharded across devices and the SAME jitted programs run under
+    GSPMD: the (N, F, D) batch -- the only big tensor -- is split, the
+    per-field moment einsums reduce locally and ``psum`` the tiny
+    (F, D, D) results over ICI, and the batched eigensolves run on the
+    replicated moments. No reference equivalent (the reference is
+    single-process NumPy; SURVEY.md 2.4) -- this is the framework's
+    production multi-chip training path, dry-run on the virtual CPU mesh.
     """
     from pyfaceanalysis_tpu.models import moments
 
     params = []
     cur = jnp.asarray(x, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                             if a == "data"])) or 1
+        # Truncate to a device-divisible sample count: an uneven final
+        # shard would make XLA pad the batch, and padded rows would bias
+        # the moment sums (they are data, not zeros, after centering).
+        n_keep = (cur.shape[0] // n_dev) * n_dev
+        cur = cur[:n_keep]
+        if labels is not None:
+            labels = np.asarray(labels)[:n_keep]
+        cur = jax.device_put(cur, NamedSharding(mesh, P("data", None)))
     for li, spec in enumerate(net.specs):
         t0 = time.time()
         inp = _gather_expand(spec, cur)                  # (N, F, De) device
@@ -215,6 +236,25 @@ class TrainConfig:
     pose_head: str = "gaussian"
     pose_node: str = "sfa"
     eye_node: str = "sfa"
+    # Multi-seed disc training (VERDICT r3 next-step #1). Single-seed disc
+    # retrains carry dataset-sampling variance LARGER than the ship guard
+    # band (round-3 campaign: 6 same-protocol candidates spanned panel
+    # FP/img 0.875-2.083, anchors FP 10-20 -- docs/ROUND4_NOTES.md), so a
+    # single-seed pfa-train ships a lottery ticket. With disc_seeds=(a,b,c)
+    # the trainer trains the disc nets once per seed, ladder-calibrates
+    # every candidate, scores each on a TRAINING-SIDE panel + the real
+    # anchors (training.selection), and ships the winner of the declared
+    # rule. () = legacy single train on the base key.
+    disc_seeds: tuple = ()
+    selection_scenes: int = 48
+    selection_seed: int = 777       # training-side; 999 stays held out
+    recall_floor: float = 0.73
+    # Ladder + eye-gate calibration as the trainer's closing step
+    # (training.calibration; previously a manual tool whose omission
+    # silently regressed quality twice in round 2).
+    calibrate: bool = True
+    calib_scenes: int = 40
+    calib_seed: int = 1234
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -257,14 +297,25 @@ _STAGE_LAYOUT = [
 
 def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                    face_geom: NetGeometry = NetGeometry(),
-                   verbose: bool = True, reuse: Sequence[str] = ()) -> None:
+                   verbose: bool = True, reuse: Sequence[str] = (),
+                   data_mesh: int = 0) -> None:
     """Trains every network/classifier and writes the artifact directory.
 
     ``reuse``: substrings of network names to LOAD from ``out_dir`` instead
     of retraining (e.g. ("pose", "eye") retrains only disc/age) -- the
     incremental iteration loop for model-quality work.
+
+    ``data_mesh``: shard every network's moment accumulation over an
+    N-device "data" mesh (see :func:`train_network`); 0 = single device.
     """
     os.makedirs(out_dir, exist_ok=True)
+    mesh = None
+    if data_mesh:
+        from pyfaceanalysis_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data_mesh, ("data",))
+        if verbose:
+            print(f"[train] moment accumulation sharded over a "
+                  f"{data_mesh}-device data mesh", flush=True)
 
     def _reusable(name):
         return any(r in name for r in reuse) and os.path.exists(
@@ -343,7 +394,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             f"on {len(x)} patches")
         labk = np.stack([labels[c] for c in cols], axis=1)
         net = train_network(net, x, graph="serial", labels=labk,
-                            num_groups=cfg.pose_classes, verbose=verbose,
+                            mesh=mesh, num_groups=cfg.pose_classes, verbose=verbose,
                             label_weights=weights)
         nets[name] = net
         feats = _execute(net, x)
@@ -357,34 +408,6 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                     feats, labels[c], dim, cfg.pose_classes)
         _persist(name, cnames)
         log(f"[train] {name}: done")
-
-    # --- discrimination nets ------------------------------------------------
-    disc_names = ["net_disc"] + (["net_disc_final"] if cfg.train_final_disc
-                                 else [])
-    for i, name in enumerate(disc_names):
-        cname = "clf_Disc1" if name == "net_disc" else "clf_Disc9"
-        if _reusable(name):
-            _load_reused(name, [cname])
-            continue
-        log(f"[train] {name}: rendering graded centering classes...")
-        x, cls, avg = datasets.disc_dataset(
-            keys[2 + i], cfg.disc_faces, cfg.disc_steps, face_geom,
-            real_source=real_source, real_frac=cfg.real_frac,
-            real_bg_frac=cfg.real_bg_frac,
-            contrast_normalize=cfg.contrast_normalize,
-            mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues)
-        net = builder.build_higsfa(64, top_dim=cfg.top_dim,
-                                   node=cfg.disc_node)
-        net = train_network(net, x, graph="clustered", labels=cls,
-                            verbose=verbose)
-        nets[name] = net
-        feats = _execute(net, x)
-        clfs[cname] = fit_regressor_classes(feats, cls, avg, input_dim=9)
-        _persist(name, [cname])
-        log(f"[train] {name}: done")
-    if not cfg.train_final_disc:
-        nets["net_disc_final"] = nets["net_disc"]
-        clfs["clf_Disc9"] = clfs["clf_Disc1"]
 
     # --- eye net ------------------------------------------------------------
     if _reusable("net_eye"):
@@ -400,7 +423,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                    node=cfg.eye_node)
         lab2 = np.stack([labels["x"], labels["y"]], axis=1)
         net = train_network(net, x, graph="serial", labels=lab2,
-                            num_groups=cfg.pose_classes, verbose=verbose)
+                            mesh=mesh, num_groups=cfg.pose_classes, verbose=verbose)
         nets["net_eye"] = net
         feats = _execute(net, x)
         clfs["clf_EyeLX"] = fit_regressor_bins(feats, labels["x"], 12,
@@ -426,7 +449,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         lab3 = np.stack([labels["age"], labels["race"], labels["gender"]],
                         axis=1)
         net = train_network(net, x, graph="serial", labels=lab3,
-                            num_groups=20, verbose=verbose,
+                            mesh=mesh, num_groups=20, verbose=verbose,
                             label_weights=(2.0, 1.0, 1.0))
         nets["net_age"] = net
         feats = _execute(net, x)
@@ -440,42 +463,158 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         _persist("net_age", ["clf_Age", "clf_Race", "clf_Gender"])
         log("[train] net_age: done")
 
-    # --- calibrate the final Disc cutoff --------------------------------------
-    # The reference ships cut_offs_face tuned to ITS discriminators
-    # (FaceDetectUpdated.py:98); the absolute output scale of a freshly
-    # trained Gaussian soft-classifier differs, so the last (strictest) gate
-    # is calibrated: accept the 90th percentile of disc outputs on
-    # converged-residual face patches, provided background stays far above.
-    log("[train] calibrating final Disc cutoff...")
-    res = datasets.residual_dataset(keys[6], max(cfg.disc_faces // 2, 8), 20,
-                                    face_geom, real_source=real_source,
-                                    real_frac=cfg.real_frac,
-                                    contrast_normalize=cfg.contrast_normalize,
-                                    attr_cues=cfg.attr_cues)
-    net9 = nets["net_disc_final"]
-    feats = _execute(net9, res)
-    clf9 = clfs["clf_Disc9"]
-    vals = np.asarray(clf9.regression(
-        jnp.asarray(feats[:, :clf9.input_dim])))
-    last_cut = float(min(max(np.quantile(vals, 0.90) * 1.15, 0.02), 0.9))
-    log(f"[train] residual disc outputs: median={np.median(vals):.3f} "
-        f"q90={np.quantile(vals, 0.90):.3f} -> last_cut_off={last_cut:.3f}")
+    # --- discrimination nets --------------------------------------------------
+    # Trained LAST: with disc_seeds set, every candidate is assembled into a
+    # full pipeline (sharing the pose/eye/age nets above), calibrated and
+    # scored -- see TrainConfig.disc_seeds.
+    disc_names = ["net_disc"] + (["net_disc_final"] if cfg.train_final_disc
+                                 else [])
+    disc_clf_of = {"net_disc": "clf_Disc1", "net_disc_final": "clf_Disc9"}
 
-    # --- write artifacts ------------------------------------------------------
-    for name, net in nets.items():
-        artifacts.save_network(os.path.join(out_dir, name + ".npz"), net)
-    for name, clf in clfs.items():
-        artifacts.save_classifier(os.path.join(out_dir, name + ".npz"), clf,
-                                  clf.input_dim)
-    stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
-    spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
-    write_pipeline(os.path.join(out_dir, "Pipeline_tpu.txt"), spec)
-    artifacts.save_manifest(
-        out_dir, face_geom, eye_geom, age_geom,
-        calibration={"last_cut_off_face": last_cut,
-                     "detection_contrast_normalize":
-                         bool(cfg.contrast_normalize),
-                     "pang_gain": float(cfg.pang_gain),
-                     "pos_gain": float(cfg.pos_gain),
-                     "scale_gain": float(cfg.scale_gain)})
+    def _train_discs(key2, key3, tag=""):
+        """Trains the disc nets + classifiers on the given dataset keys;
+        returns ({name: net}, {cname: clf}) without touching out_dir."""
+        d_nets, d_clfs = {}, {}
+        dkeys = {"net_disc": key2, "net_disc_final": key3}
+        for name in disc_names:
+            cname = disc_clf_of[name]
+            log(f"[train] {name}{tag}: rendering graded centering classes...")
+            x, cls, avg = datasets.disc_dataset(
+                dkeys[name], cfg.disc_faces, cfg.disc_steps, face_geom,
+                real_source=real_source, real_frac=cfg.real_frac,
+                real_bg_frac=cfg.real_bg_frac,
+                contrast_normalize=cfg.contrast_normalize,
+                mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues)
+            net = builder.build_higsfa(64, top_dim=cfg.top_dim,
+                                       node=cfg.disc_node)
+            net = train_network(net, x, graph="clustered", labels=cls,
+                                mesh=mesh, verbose=verbose)
+            d_nets[name] = net
+            feats = _execute(net, x)
+            d_clfs[cname] = fit_regressor_classes(feats, cls, avg,
+                                                  input_dim=9)
+            log(f"[train] {name}{tag}: done")
+        if not cfg.train_final_disc:
+            d_nets["net_disc_final"] = d_nets["net_disc"]
+            d_clfs["clf_Disc9"] = d_clfs["clf_Disc1"]
+        return d_nets, d_clfs
+
+    def _final_cutoff(d_nets, d_clfs):
+        """Final-gate estimate from converged-residual face patches: the
+        reference ships cut_offs_face tuned to ITS discriminators
+        (FaceDetectUpdated.py:98); a fresh Gaussian soft-classifier has a
+        different absolute output scale."""
+        res = datasets.residual_dataset(
+            keys[6], max(cfg.disc_faces // 2, 8), 20, face_geom,
+            real_source=real_source, real_frac=cfg.real_frac,
+            contrast_normalize=cfg.contrast_normalize,
+            attr_cues=cfg.attr_cues)
+        net9 = d_nets["net_disc_final"]
+        feats = _execute(net9, res)
+        clf9 = d_clfs["clf_Disc9"]
+        vals = np.asarray(clf9.regression(
+            jnp.asarray(feats[:, :clf9.input_dim])))
+        cut = float(min(max(np.quantile(vals, 0.90) * 1.15, 0.02), 0.9))
+        log(f"[train] residual disc outputs: median={np.median(vals):.3f} "
+            f"q90={np.quantile(vals, 0.90):.3f} -> last_cut_off={cut:.3f}")
+        return cut
+
+    def _write_dir(dest, d_nets, d_clfs, last_cut):
+        """Writes a COMPLETE pipeline directory: shared nets/clfs + the
+        given disc artifacts + pipeline file + manifest."""
+        os.makedirs(dest, exist_ok=True)
+        for name, net in {**nets, **d_nets}.items():
+            artifacts.save_network(os.path.join(dest, name + ".npz"), net)
+        for name, clf in {**clfs, **d_clfs}.items():
+            artifacts.save_classifier(os.path.join(dest, name + ".npz"),
+                                      clf, clf.input_dim)
+        stages = tuple(StageSpec(t, n, c) for t, n, c, _ in _STAGE_LAYOUT)
+        spec = PipelineSpec(face_geom, eye_geom, age_geom, stages)
+        write_pipeline(os.path.join(dest, "Pipeline_tpu.txt"), spec)
+        artifacts.save_manifest(
+            dest, face_geom, eye_geom, age_geom,
+            calibration={"last_cut_off_face": last_cut,
+                         "detection_contrast_normalize":
+                             bool(cfg.contrast_normalize),
+                         "pang_gain": float(cfg.pang_gain),
+                         "pos_gain": float(cfg.pos_gain),
+                         "scale_gain": float(cfg.scale_gain)})
+
+    def _calibrate_dir(dest):
+        if not cfg.calibrate:
+            return
+        from pyfaceanalysis_tpu.training import calibration
+        log(f"[train] calibrating disc ladder + eye gate for {dest}...")
+        result = calibration.calibrate_model(
+            dest, scenes=cfg.calib_scenes, seed=cfg.calib_seed,
+            verbose=verbose)
+        calibration.write_calibration(dest, result, verbose=verbose)
+
+    if _reusable("net_disc"):
+        _load_reused("net_disc", ["clf_Disc1"])
+        if cfg.train_final_disc:
+            _load_reused("net_disc_final", ["clf_Disc9"])
+        else:
+            nets["net_disc_final"] = nets["net_disc"]
+            clfs["clf_Disc9"] = clfs["clf_Disc1"]
+        _write_dir(out_dir, {}, {}, _final_cutoff(nets, clfs))
+        _calibrate_dir(out_dir)
+    elif cfg.disc_seeds:
+        from pyfaceanalysis_tpu.training import selection
+        cand_dirs, scores = [], []
+        for s in cfg.disc_seeds:
+            tag = f" [disc seed {s}]"
+            k2 = jax.random.fold_in(keys[2], s)
+            k3 = jax.random.fold_in(keys[3], s)
+            d_nets, d_clfs = _train_discs(k2, k3, tag)
+            cand = os.path.join(out_dir, f"_cand_disc_{s}")
+            _write_dir(cand, d_nets, d_clfs, _final_cutoff(d_nets, d_clfs))
+            _calibrate_dir(cand)
+            log(f"[train] scoring candidate{tag} "
+                f"({cfg.selection_scenes}-scene panel seed "
+                f"{cfg.selection_seed} + anchors)...")
+            sc = selection.score_candidate(
+                cand, n_scenes=cfg.selection_scenes,
+                panel_seed=cfg.selection_seed,
+                anchors=(cfg.real_gt_file or "data/train_faces_gt.txt"))
+            a = sc.get("anchors")
+            log(f"[train] candidate{tag}: recall {sc['recall']:.4f} "
+                f"FP/img {sc['fp_per_image']:.4f} anchors "
+                + (f"{a['tp']}TP/{a['fp']}FP/{a['fn']}FN" if a else "-"))
+            cand_dirs.append(cand)
+            scores.append(sc)
+        log("[train] disc-seed selection:")
+        win = selection.select(scores, recall_floor=cfg.recall_floor,
+                               verbose=verbose)
+        if win is None:
+            # every candidate misses a real face: fall back to the one
+            # with the fewest anchor misses, then best panel recall.
+            win = max(
+                range(len(scores)),
+                key=lambda i: (-scores[i].get("anchors", {}).get("fn", 9),
+                               scores[i]["recall"]))
+            log(f"[train] WARNING: every candidate eliminated on anchors; "
+                f"falling back to least-bad candidate {win}")
+        log(f"[train] selected disc seed {cfg.disc_seeds[win]} "
+            f"(candidate {win}); promoting to {out_dir}")
+        import shutil
+        for f in os.listdir(cand_dirs[win]):
+            shutil.copy2(os.path.join(cand_dirs[win], f),
+                         os.path.join(out_dir, f))
+        with open(os.path.join(out_dir, "disc_selection.json"), "w") as f:
+            import json as _json
+            _json.dump({"seeds": list(cfg.disc_seeds), "scores": scores,
+                        "selected": int(win),
+                        "selected_seed": int(cfg.disc_seeds[win]),
+                        "rule": "anchors fn==0 & tp>=3; recall>=floor -> "
+                                "min fp; else max recall",
+                        "recall_floor": cfg.recall_floor}, f, indent=1)
+    else:
+        d_nets, d_clfs = _train_discs(keys[2], keys[3])
+        nets.update(d_nets)
+        clfs.update(d_clfs)
+        for name in disc_names:
+            _persist(name, [disc_clf_of[name]])
+        _write_dir(out_dir, {}, {}, _final_cutoff(nets, clfs))
+        _calibrate_dir(out_dir)
     log(f"[train] wrote pipeline artifacts to {out_dir}")

@@ -83,3 +83,70 @@ def test_dryrun_multichip_entry():
     """The driver's dry run must execute in-process on the virtual mesh."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_trainer_matches_single_device():
+    """pfa-train --data_mesh=N path: the PRODUCTION train_network under an
+    8-device data mesh reproduces the single-device weights (per-layer W
+    up to eigenvector sign; moments reductions reorder, hence tolerance).
+    Serial graph = the pose-net path; clustered = the disc path."""
+    from pyfaceanalysis_tpu.models import builder
+    from pyfaceanalysis_tpu.parallel.train_step import sharded_train_network
+    from pyfaceanalysis_tpu.training.trainer import train_network
+
+    rng = np.random.RandomState(7)
+    net = builder.build_higsfa(16, base_field=4, d=6, top_dim=8)
+    n = 32 * 8
+    # Label-correlated data so the slow directions have clean eigengaps
+    # (pure-noise covariances have near-degenerate spectra, which would
+    # make the eigenvector comparison ill-posed rather than wrong).
+    lab = rng.rand(n)
+    x = (np.outer(lab, rng.randn(256)) +
+         0.3 * rng.randn(n, 256)).astype(np.float32)
+
+    import jax
+
+    for graph, labels, groups in (("serial", lab, 8),
+                                  ("clustered", (lab * 8).astype(int), 8)):
+        ref = train_network(net, x, graph=graph, labels=labels,
+                            num_groups=groups, verbose=False)
+        mesh = make_mesh(8, ("data",))
+        out = sharded_train_network(mesh, net, x, graph=graph,
+                                    labels=labels, num_groups=groups)
+        # The distributed reduction itself: graph moments of the sharded
+        # batch match the single-device moments tightly. (W comparison is
+        # ill-posed -- eigenvectors inside near-degenerate blocks rotate
+        # freely under 1e-6 moment perturbations -- so weights are checked
+        # functionally below instead.)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pyfaceanalysis_tpu.models import moments
+
+        xj = x.reshape(n, 16, 16)[:, :4, :4].reshape(n, 1, 16)
+        m_r, B_r, A_r = moments.gsfa_moments(xj, graph, labels=labels,
+                                             num_groups=groups)
+        xs = jax.device_put(xj, NamedSharding(make_mesh(8, ("data",)),
+                                              P("data", None, None)))
+        m_o, B_o, A_o = moments.gsfa_moments(xs, graph, labels=labels,
+                                             num_groups=groups)
+        for nm, r, o in (("mean", m_r, m_o), ("B", B_r, B_o),
+                         ("A", A_r, A_o)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=1e-5, rtol=1e-4,
+                                       err_msg=f"{graph} {nm}")
+        # End to end: the two nets compute the same feature SPACE
+        # (canonical correlations; invariant to the sign/rotation freedom
+        # of eigenvectors inside near-degenerate blocks).
+        # Only the INFORMATIVE leading subspace is well-determined (an
+        # 8-group graph pins ~7 slow directions; trailing outputs sit in
+        # the noise floor and rotate freely between runs), so compare the
+        # first-5-feature subspaces.
+        k = 5
+        fr = np.asarray(jax.jit(ref.execute)(x))[:, :k]
+        fo = np.asarray(jax.jit(out.execute)(x))[:, :k]
+        fr = (fr - fr.mean(0)) / (fr.std(0) + 1e-9)
+        fo = (fo - fo.mean(0)) / (fo.std(0) + 1e-9)
+        qr_r, _ = np.linalg.qr(fr)
+        qr_o, _ = np.linalg.qr(fo)
+        cc = np.linalg.svd(qr_r.T @ qr_o, compute_uv=False)
+        assert cc.mean() > 0.98 and cc.min() > 0.9, (
+            f"{graph}: canonical correlations {cc}")

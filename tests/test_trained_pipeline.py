@@ -122,3 +122,4 @@ def test_train_pipeline_mechanics(tmp_path):
     res = det.detect(np.random.RandomState(0).rand(120, 120)
                      .astype(np.float32))
     assert isinstance(res, list)
+
