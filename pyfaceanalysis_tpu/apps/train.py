@@ -82,6 +82,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip the automatic disc-ladder + eye-gate "
                         "calibration (training.calibration) after training")
     p.add_argument("--calib_scenes", type=int, default=40)
+    p.add_argument("--calib_bg_budget", type=float, default=0.0,
+                   help="background cap of the calibrated disc ladder "
+                        "(max cumulative pre-NMS background windows/image; "
+                        "0 = off)")
     p.add_argument("--data_mesh", type=int, default=0,
                    help="shard every network's moment accumulation over an "
                         "N-device data mesh (GSPMD; 0 = single device)")
@@ -103,7 +107,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  if s),
                 selection_scenes=args.selection_scenes,
                 calibrate=not args.no_calibrate,
-                calib_scenes=args.calib_scenes)
+                calib_scenes=args.calib_scenes,
+                calib_bg_budget=args.calib_bg_budget)
     if args.quick:
         real.update(calib_scenes=min(args.calib_scenes, 6),
                     selection_scenes=min(args.selection_scenes, 6))

@@ -125,6 +125,20 @@ class DetectorConfig:
     # refine. 1 = reference parity.
     eye_iters: int = 1
 
+    # In-flight batches of detect_stream (TPU extension; the reference is
+    # single-threaded per image). Depth 1 = back-to-back detect_batch;
+    # 3 keeps the device busy across one full host pull+NMS+heads+convert
+    # cycle (round-4 profile: depth-1 streamed 43 ms/img vs a ~21 ms/img
+    # device pipeline at batch 16). Each in-flight batch parks its canvas
+    # stack on device (~4 MB/image at the 1000px canvas).
+    stream_depth: int = 3
+
+    # Largest image count per fused cascade program; bigger detect_batch
+    # calls are chunked. The Pallas crop kernel keeps per-window scalar
+    # metadata in SMEM (1 MB), which overflows near B=64 at the 1000px
+    # canvas -- chunking costs one extra dispatch per 32 images instead.
+    max_fused_batch: int = 32
+
     # Crops averaged per face by the age/race/gender heads (TPU extension,
     # not in the reference: engine/heads.py _tta_offsets). 1 = the
     # reference's single Z-frame crop; K>1 runs K jittered crops through

@@ -694,6 +694,18 @@ class FaceDetector:
             # per-stage GEMMs; see _detect_core_batch). The grid is tiled
             # with a per-row image index; the pyramid is stacked along the
             # level axis with image-folded crop levels.
+            if len(images) > cfg.max_fused_batch:
+                # The Pallas crop kernel's scalar-prefetch arrays scale
+                # with B x windows and overflow the 1 MB SMEM around B=64
+                # at the 1000px canvas (measured round 4: compile error).
+                # Chunk rather than crash; the chunks pipeline via the
+                # async dispatch anyway.
+                out: List[List[Detection]] = []
+                for k in range(0, len(images), cfg.max_fused_batch):
+                    out.extend(self.detect_batch(
+                        images[k: k + cfg.max_fused_batch],
+                        estimate_attributes))
+                return out
             stack, fut = self._dispatch_fused(images)
             return self._finish_fused(stack, np.asarray(fut),
                                       estimate_attributes)
@@ -790,45 +802,56 @@ class FaceDetector:
         return self._assemble_batch(stack, purged_per_image,
                                     estimate_attributes)
 
-    def detect_stream(self, batches, estimate_attributes: bool = True):
+    def detect_stream(self, batches, estimate_attributes: bool = True,
+                      depth: Optional[int] = None):
         """Pipelined batched detection over an iterable of image batches.
 
         Yields one ``List[List[Detection]]`` per input batch, in order.
-        While batch i's cascade runs on device, batch i+1's images are
-        already being converted and shipped host->device -- on tunneled
-        TPU links the image push costs ~2x the cascade itself (measured
-        round 3: ~30 ms/image push vs ~15 ms device at batch=16), so
-        overlapping them roughly doubles steady-state serving throughput
-        vs back-to-back detect_batch calls.
+        Up to ``depth`` batches are kept in flight: while batch i's result
+        is being pulled and post-processed on host (NMS, attribute heads,
+        assembly), batches i+1..i+depth-1 are already pushed and their
+        cascades enqueued. Depth 1 reproduces back-to-back detect_batch
+        timing; the round-4 profile on the tunneled v5e showed the
+        device pipeline sustains ~21 ms/image at batch 16 while the
+        depth-1 stream delivered ~43 -- the host-side pull (49 ms/batch),
+        NMS+heads (77 ms/batch) and uint8 conversion (43 ms/batch) were
+        serializing against device compute. Default depth 3 (config
+        ``stream_depth``) keeps the device busy across one full host
+        cycle; each in-flight batch holds its canvas stack (~64 MB at
+        batch 16 of 1000x1000) on device.
 
         Batches must each contain same-sized images (sizes may differ
         ACROSS batches); tracking mode or a ragged batch falls back to a
         plain detect_batch call for that batch (pipeline flushed first).
         """
+        from collections import deque
+
         cfg = self.config
-        prev = None
+        if depth is None:
+            depth = cfg.stream_depth
+        depth = max(1, int(depth))
+        q: deque = deque()
+
+        def finish_oldest():
+            stack, fut = q.popleft()
+            return self._finish_fused(stack, np.asarray(fut),
+                                      estimate_attributes)
+
         for images in batches:
             ragged = (len(images) == 0 or
+                      len(images) > cfg.max_fused_batch or
                       any(im.shape != images[0].shape for im in images) or
                       cfg.track_single_face or cfg.batch_mode != "fused")
             if ragged:
-                if prev is not None:
-                    stack, fut = prev
-                    yield self._finish_fused(stack, np.asarray(fut),
-                                             estimate_attributes)
-                    prev = None
+                while q:
+                    yield finish_oldest()
                 yield self.detect_batch(images, estimate_attributes)
                 continue
-            nxt = self._dispatch_fused(images)    # push+compute async
-            if prev is not None:
-                stack, fut = prev
-                yield self._finish_fused(stack, np.asarray(fut),
-                                         estimate_attributes)
-            prev = nxt
-        if prev is not None:
-            stack, fut = prev
-            yield self._finish_fused(stack, np.asarray(fut),
-                                     estimate_attributes)
+            q.append(self._dispatch_fused(images))    # push+compute async
+            if len(q) >= depth:
+                yield finish_oldest()
+        while q:
+            yield finish_oldest()
 
     def _assemble_batch(self, device_images, purged_per_image,
                         estimate_attributes: bool) -> List[List[Detection]]:

@@ -145,13 +145,89 @@ def collect_image(det, image, truth_rows, cfg, model):
     return face_confs, bg_confs, covered, n_conv, eye_regs
 
 
+def background_rate(ladder, bg_images, disc_serials):
+    """CUMULATIVE background survival through ``ladder``: a window passes
+    iff its conf clears the cutoff at EVERY disc stage it stayed alive for.
+    bg_images: per image {serial: (conf array, window index array)}.
+    Returns (windows/image, passed, total)."""
+    total = passed = 0
+    for bg in bg_images:
+        alive = None
+        for s in disc_serials:
+            if s not in bg:
+                continue
+            conf, idx = bg[s]
+            ok = dict(zip(idx, conf < ladder[s]))
+            if alive is None:
+                alive = ok
+                total += len(idx)
+            else:
+                alive = {i: alive.get(i, False) and ok.get(i, False)
+                         for i in alive}
+        if alive:
+            passed += sum(alive.values())
+    n_img = max(len(bg_images), 1)
+    return passed / n_img, passed, total
+
+
+def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
+               ref=None, log=print):
+    """Precision cap: interpolate ``face_ladder`` back toward the reference
+    constants -- cutoff_t[s] = ref[s] + t (face[s] - ref[s]) -- and
+    binary-search the LOOSEST t whose cumulative background survival meets
+    ``bg_budget`` windows/image. t=0 (the reference ladder itself) is the
+    floor: the cap never tightens below the reference, and a budget
+    unreachable even there is reported, not forced."""
+    from pyfaceanalysis_tpu.config import REFERENCE_CUT_OFFS_FACE
+
+    ref = list(REFERENCE_CUT_OFFS_FACE) if ref is None else list(ref)
+    face_cut = list(face_ladder)
+
+    def at(t):
+        return [ref[s] + t * (face_cut[s] - ref[s])
+                for s in range(len(face_cut))]
+
+    lo_rate, _, _ = background_rate(at(0.0), bg_images, disc_serials)
+    if lo_rate > bg_budget:
+        log(f"  bg cap: even the reference ladder passes "
+            f"{lo_rate:.1f}/image > budget {bg_budget}; keeping the "
+            f"face-calibrated ladder (cap has no room)")
+        return face_cut
+    lo, hi = 0.0, 1.0
+    for _ in range(20):
+        mid = (lo + hi) / 2.0
+        r, _, _ = background_rate(at(mid), bg_images, disc_serials)
+        if r <= bg_budget:
+            lo = mid
+        else:
+            hi = mid
+    # Round DOWN (tighter): plain rounding can nudge a cutoff just past
+    # the budget boundary the binary search found.
+    ladder = [int(v * 10000) / 10000.0 for v in at(lo)]
+    rate, passed, total = background_rate(ladder, bg_images, disc_serials)
+    log(f"  bg cap (budget {bg_budget}/image): t={lo:.3f} -> "
+        f"{[f'{v:.3f}' for v in ladder]} ({passed}/{total} = "
+        f"{rate:.1f}/image)")
+    return ladder
+
+
 def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
                     canvas: int = 320, angle_max: float = 15.0,
                     q: float = 0.95, margin: float = 1.10,
                     anchors: str = "data/train_faces_gt.txt",
                     smallest_face: float = 0.15,
+                    bg_budget: float = 0.0,
                     verbose: bool = True) -> Dict:
     """Computes the calibrated disc ladder + eye gate for ``model_dir``.
+
+    ``bg_budget`` > 0 adds a PRECISION constraint: the face-quantile ladder
+    is interpolated back toward the reference constants (never below them)
+    until at most ``bg_budget`` background windows per image survive the
+    cumulative ladder pre-NMS. Without it the calibration only ever
+    loosens cutoffs to spare converged faces and merely reports the
+    background rate -- a retrain whose disc output scale shifts up gets a
+    looser ladder and pays for it in panel FP (campaign-1 mechanism,
+    docs/ROUND4_NOTES.md). 0 disables (legacy behavior).
 
     Returns {"cut_offs_face": [10 floats], "tolerance_xy_eye": float,
     "bg_per_image": float, "faces": int, "converged": int}. Does NOT write
@@ -254,28 +330,16 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
             f"{np.quantile(vals, .9):7.3f} {np.quantile(vals, .95):7.3f} "
             f"{vals.max():7.3f} {ref:6.2f} {ladder[s]:7.3f}")
 
-    # CUMULATIVE background survival: a window passes iff its conf clears
-    # the calibrated cutoff at EVERY disc stage it stayed alive for.
-    total_bg = passed_bg = 0
-    for bg in bg_images:
-        alive = None
-        for s in disc_serials:
-            if s not in bg:
-                continue
-            conf, idx = bg[s]
-            ok = dict(zip(idx, conf < ladder[s]))
-            if alive is None:
-                alive = ok
-                total_bg += len(idx)
-            else:
-                alive = {i: alive.get(i, False) and ok.get(i, False)
-                         for i in alive}
-        if alive:
-            passed_bg += sum(alive.values())
-    n_img = len(bg_images)
-    bg_per_image = passed_bg / max(n_img, 1)
+    bg_per_image, passed_bg, total_bg = background_rate(ladder, bg_images,
+                                                        disc_serials)
     log(f"  background windows surviving the calibrated ladder: "
         f"{passed_bg}/{total_bg} ({bg_per_image:.1f}/image pre-NMS)")
+
+    if bg_budget > 0 and bg_per_image > bg_budget:
+        ladder = cap_ladder(ladder, bg_images, disc_serials, bg_budget,
+                            log=log)
+        bg_per_image, passed_bg, total_bg = background_rate(
+            ladder, bg_images, disc_serials)
 
     # --- eye "too far" gate from converged true faces ----------------------
     # Use the real-anchor quantile when available, clipped to [9, 14]:

@@ -255,6 +255,9 @@ class TrainConfig:
     calibrate: bool = True
     calib_scenes: int = 40
     calib_seed: int = 1234
+    # Background cap of the calibrated ladder (campaign-3 L0; 0 = off):
+    # max cumulative pre-NMS background windows/image.
+    calib_bg_budget: float = 0.0
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -547,7 +550,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         log(f"[train] calibrating disc ladder + eye gate for {dest}...")
         result = calibration.calibrate_model(
             dest, scenes=cfg.calib_scenes, seed=cfg.calib_seed,
-            verbose=verbose)
+            bg_budget=cfg.calib_bg_budget, verbose=verbose)
         calibration.write_calibration(dest, result, verbose=verbose)
 
     if _reusable("net_disc"):

@@ -27,3 +27,41 @@ def test_multi_seed_selection_rule():
     # Everyone eliminated.
     scores = [cand(0.9, 0.1, a_tp=2), cand(0.9, 0.1, a_fn=2)]
     assert select(scores, recall_floor=0.73, verbose=False) is None
+
+
+def test_background_cap_ladder():
+    """cap_ladder interpolates the face-calibrated ladder toward the
+    reference constants until the cumulative background survival meets the
+    budget -- and never goes below the reference floor."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.training.calibration import (background_rate,
+                                                         cap_ladder)
+
+    serials = [1, 3]
+    ref = [0.0, 0.2, 0.0, 0.2] + [0.0] * 6
+    face = [0.0, 0.8, 0.0, 0.8] + [0.0] * 6
+    rng = np.random.RandomState(0)
+    # 10 images x 40 bg windows, confidences uniform in [0, 1]: under the
+    # face ladder (cut 0.8 at both stages) ~0.64 of windows survive both
+    # stages = ~25.6/image; under the reference (0.2) ~0.04 = 1.6/image.
+    bg_images = []
+    for _ in range(10):
+        idx = np.arange(40)
+        bg_images.append({1: (rng.rand(40), idx), 3: (rng.rand(40), idx)})
+
+    rate_face, _, _ = background_rate(face, bg_images, serials)
+    assert rate_face > 20.0
+    capped = cap_ladder(face, bg_images, serials, bg_budget=5.0, ref=ref,
+                        log=lambda *a, **k: None)
+    rate_cap, _, _ = background_rate(capped, bg_images, serials)
+    assert rate_cap <= 5.0
+    # loosest ladder meeting the budget: not far below it either
+    assert rate_cap > 2.5
+    # floor: a budget unreachable even at the reference keeps face ladder
+    floor = cap_ladder(face, bg_images, serials, bg_budget=0.01, ref=ref,
+                       log=lambda *a, **k: None)
+    assert floor == list(face)
+    # monotone: capped cutoffs sit between reference and face values
+    for s in serials:
+        assert ref[s] <= capped[s] <= face[s]

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--margin", type=float, default=1.10)
     ap.add_argument("--anchors", default="data/train_faces_gt.txt")
     ap.add_argument("--smallest_face", type=float, default=0.15)
+    ap.add_argument("--bg_budget", type=float, default=0.0,
+                    help="cap the cumulative pre-NMS background survival "
+                         "at this many windows/image by interpolating the "
+                         "ladder back toward the reference constants "
+                         "(0 = off)")
     ap.add_argument("--write", action="store_true",
                     help="write the calibrated ladder into the manifest")
     args = ap.parse_args(argv)
@@ -36,7 +41,8 @@ def main(argv=None):
     result = calibration.calibrate_model(
         args.model, scenes=args.scenes, seed=args.seed, canvas=args.canvas,
         angle_max=args.angle_max, q=args.q, margin=args.margin,
-        anchors=args.anchors, smallest_face=args.smallest_face)
+        anchors=args.anchors, smallest_face=args.smallest_face,
+        bg_budget=args.bg_budget)
     if args.write:
         calibration.write_calibration(args.model, result)
     else:
