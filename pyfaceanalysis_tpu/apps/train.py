@@ -82,6 +82,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="skip the automatic disc-ladder + eye-gate "
                         "calibration (training.calibration) after training")
     p.add_argument("--calib_scenes", type=int, default=40)
+    p.add_argument("--texture_noise", type=float, default=0.0,
+                   help="high-frequency texture injection amplitude for "
+                        "training patches (domain-gap lever, "
+                        "docs/domain_gap_r4.json; 0 = off)")
     p.add_argument("--calib_bg_budget", type=float, default=0.0,
                    help="background cap of the calibrated disc ladder "
                         "(max cumulative pre-NMS background windows/image; "
@@ -108,7 +112,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 selection_scenes=args.selection_scenes,
                 calibrate=not args.no_calibrate,
                 calib_scenes=args.calib_scenes,
-                calib_bg_budget=args.calib_bg_budget)
+                calib_bg_budget=args.calib_bg_budget,
+                texture_noise=args.texture_noise)
     if args.quick:
         real.update(calib_scenes=min(args.calib_scenes, 6),
                     selection_scenes=min(args.selection_scenes, 6))

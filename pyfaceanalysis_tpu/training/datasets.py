@@ -99,30 +99,44 @@ _extract_batch = jax.jit(jax.vmap(
         img, boxes, angles, (64, 64), method="nearest")))
 
 
-def _random_patch_blur(key, patches):
-    """Per-PATCH blur augmentation (random strength 0..~2 px).
+def _blur1(p):
+    return (p + jnp.roll(p, 1, -1) + jnp.roll(p, -1, -1)
+            + jnp.roll(p, 1, -2) + jnp.roll(p, -1, -2)) / 5.0
+
+
+def _random_patch_blur(key, patches, noise_amp: float = 0.0):
+    """Per-PATCH blur augmentation (random strength 0..~2 px), optionally
+    followed by high-frequency texture injection.
 
     Canvas-level blur mostly vanishes once boxes are downsampled to 64x64,
     so it cannot stop the nets from keying on renderer-sharp micro-cues
     that do not exist in photographs; randomizing blur at patch level makes
     fine detail an UNRELIABLE signal during GSFA fitting, forcing the slow
     features onto coarse structure that transfers to real faces.
-    patches: (..., 64, 64).
+
+    ``noise_amp`` > 0 additionally adds band-passed noise with a random
+    per-patch amplitude in [0, noise_amp]. Blur can only REMOVE high
+    frequencies, yet the measured renderer-vs-photograph gap runs the
+    other way: real anchor faces carry ~3x the gradient energy and ~10x
+    the Laplacian variance of renderer faces, a gap the production
+    contrast normalization does not close (docs/domain_gap_r4.json,
+    tools/audit_domain_gap.py). Injecting texture makes the PRESENCE of
+    micro-structure uninformative too, and amp ~0.08 spans the real
+    patches' Laplacian-variance range. patches: (..., 64, 64).
     """
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     shape = patches.shape
-
-    def blur1(p):
-        return (p + jnp.roll(p, 1, -1) + jnp.roll(p, -1, -1)
-                + jnp.roll(p, 1, -2) + jnp.roll(p, -1, -2)) / 5.0
-
     n = int(np.prod(shape[:-2]))
     t1 = jax.random.uniform(k1, (n,) + (1, 1))
     t2 = jax.random.uniform(k2, (n,) + (1, 1)) * t1     # heavier tail
     flat = patches.reshape((n,) + shape[-2:])
-    b1 = blur1(flat)
-    b2 = blur1(b1)
+    b1 = _blur1(flat)
+    b2 = _blur1(b1)
     out = flat * (1 - t1) + b1 * (t1 - t2) + b2 * t2
+    if noise_amp > 0.0:
+        amp = jax.random.uniform(k3, (n, 1, 1)) * noise_amp
+        white = jax.random.normal(k4, out.shape)
+        out = jnp.clip(out + amp * (white - _blur1(white)), 0.0, 1.0)
     return out.reshape(shape)
 
 
@@ -141,7 +155,8 @@ def _maybe_contrast(flat, enabled: bool):
 def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  dx_range: float, dy_range: float, ang_range: float,
                  real_source=None, real_frac: float = 0.0,
-                 contrast_normalize: bool = False, attr_cues: str = "v3"
+                 contrast_normalize: bool = False, attr_cues: str = "v3",
+                 texture_noise: float = 0.0
                  ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Pose-walk patches: (N, 4096) in [0,1] plus labels dx/dy/ang/scale.
 
@@ -188,7 +203,8 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)                       # (M, T, 4)
     patches = _extract_batch(imgs, boxes, a)                     # (M,T,64,64)
-    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches)
+    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches,
+                                 noise_amp=texture_noise)
 
     N = num_faces * steps
     labels = {
@@ -205,6 +221,7 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
 
 def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  num_classes: int = 10, real_source=None,
+                 texture_noise: float = 0.0,
                  real_frac: float = 0.0, real_bg_frac: float = 0.0,
                  contrast_normalize: bool = False,
                  mined_frac: float = 0.0, attr_cues: str = "v3"
@@ -260,7 +277,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
     patches = _random_patch_blur(jax.random.fold_in(key, 99),
-                                 _extract_batch(imgs, boxes, a))
+                                 _extract_batch(imgs, boxes, a),
+                                 noise_amp=texture_noise)
     patches = jnp.reshape(patches, (M * T, -1))
     cls = np.asarray(cls).reshape(-1)
 
@@ -288,7 +306,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     bg_boxes = _boxes_from_centers(bcx, bcy, side)
     bg_patches = _random_patch_blur(
         jax.random.fold_in(key, 98),
-        _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))))
+        _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))),
+        noise_amp=texture_noise)
     bg_patches = jnp.reshape(bg_patches, (nb * per, -1))
 
     n_mined = (int(nb * per * mined_frac)
@@ -299,7 +318,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                                       (), 0, 2 ** 31 - 1))
         hw = (geom.subimage_height, geom.subimage_width)
         mined = real_source.sample_mined_patches(seed, n_mined, hw)
-        mined = _random_patch_blur(jax.random.fold_in(key, 97), mined)
+        mined = _random_patch_blur(jax.random.fold_in(key, 97), mined,
+                                   noise_amp=texture_noise)
         bg_patches = jnp.concatenate(
             [bg_patches, jnp.reshape(mined, (n_mined, -1))], axis=0)
 
@@ -312,7 +332,8 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
         avg_labels
 
 
-def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+def residual_dataset(key, num_faces: int, steps: int,
+                     geom: NetGeometry, texture_noise: float = 0.0,
                      *, attr_cues: str = "v3",
                      dx_r: float = 2.5, dy_r: float = 3.0, ang_r: float = 8.0,
                      logscale_r: float = 0.10,
@@ -347,12 +368,14 @@ def residual_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = fc_y[:, None] + jnp.sin(rad) * off_x + jnp.cos(rad) * off_y
     boxes = _boxes_from_centers(cx, cy, b)
     patches = _random_patch_blur(jax.random.fold_in(key, 99),
-                                 _extract_batch(imgs, boxes, a))
+                                 _extract_batch(imgs, boxes, a),
+                                 noise_amp=texture_noise)
     return _maybe_contrast(jnp.reshape(patches, (M * T, -1)),
                            contrast_normalize)
 
 
 def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
+                texture_noise: float = 0.0,
                 real_source=None, real_frac: float = 0.0,
                 attr_cues: str = "v3"
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
@@ -403,7 +426,8 @@ def eye_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     cy = eye[:, 1:2] + cyo
     boxes = _boxes_from_centers(cx, cy, box_w * jnp.ones_like(cx))
     patches = _extract_batch(imgs, boxes, est)             # (M, T, 64, 64)
-    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches)
+    patches = _random_patch_blur(jax.random.fold_in(key, 99), patches,
+                                 noise_amp=texture_noise)
     flat = jnp.reshape(patches, (M * T, -1))
     flat = contrast_enhance_patches(flat, obj_avg=0.11, obj_std=0.15)
 
@@ -430,7 +454,8 @@ def age_patch_constants(subimage_hw=(96, 96)):
 
 
 def age_dataset(key, n: int, chunk: int = 256, jitter_px: float = 1.5,
-                jitter_scale: float = 0.03, attr_cues: str = "v3"
+                jitter_scale: float = 0.03, attr_cues: str = "v3",
+                texture_noise: float = 0.0
                 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Z-frame 96x96 contrast-enhanced patches + age/race/gender labels.
 
@@ -469,6 +494,15 @@ def age_dataset(key, n: int, chunk: int = 256, jitter_px: float = 1.5,
         races.append(np.asarray(r[:take]))
         genders.append(np.asarray(g[:take]))
     patches = jnp.concatenate(parts, axis=0)
+    if texture_noise > 0.0:
+        # Texture injection only (no blur: the Z-frame stack already has
+        # eye-jitter augmentation); see _random_patch_blur for the
+        # domain-gap rationale.
+        ka, kw = jax.random.split(jax.random.fold_in(key, 96))
+        amp = jax.random.uniform(ka, (n, 1, 1)) * texture_noise
+        white = jax.random.normal(kw, patches.shape)
+        patches = jnp.clip(patches + amp * (white - _blur1(white)),
+                           0.0, 1.0)
     flat = contrast_enhance_patches(
         jnp.reshape(patches, (n, -1)), obj_avg=0.0, obj_std=0.16)
     labels = {"age": np.concatenate(ages),

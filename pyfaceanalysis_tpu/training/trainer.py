@@ -258,6 +258,12 @@ class TrainConfig:
     # Background cap of the calibrated ladder (campaign-3 L0; 0 = off):
     # max cumulative pre-NMS background windows/image.
     calib_bg_budget: float = 0.0
+    # High-frequency texture injection amplitude for ALL training patch
+    # batches (datasets._random_patch_blur noise_amp / age_dataset): the
+    # measured renderer-vs-photograph gap (docs/domain_gap_r4.json) is
+    # real faces carrying ~3x the gradient energy; 0 = off (the shipped
+    # provenance). A/B knob -- pre-registered protocol before adoption.
+    texture_noise: float = 0.0
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -390,7 +396,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             keys[kidx], cfg.num_faces, cfg.steps_per_face, face_geom,
             *ranges, real_source=real_source, real_frac=cfg.real_frac,
             contrast_normalize=cfg.contrast_normalize,
-            attr_cues=cfg.attr_cues)
+            attr_cues=cfg.attr_cues, texture_noise=cfg.texture_noise)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.pose_node)
         log(f"[train] {name}: fitting {len(net.specs)} layers "
@@ -421,7 +427,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                                          cfg.eye_steps, eye_geom,
                                          real_source=real_source,
                                          real_frac=cfg.real_frac,
-                                         attr_cues=cfg.attr_cues)
+                                         attr_cues=cfg.attr_cues,
+                                         texture_noise=cfg.texture_noise)
         net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                    node=cfg.eye_node)
         lab2 = np.stack([labels["x"], labels["y"]], axis=1)
@@ -443,7 +450,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         log("[train] net_age: rendering Z-frame faces...")
         x, labels = datasets.age_dataset(
             keys[5], cfg.age_samples, jitter_px=cfg.age_jitter_px,
-            jitter_scale=cfg.age_jitter_scale, attr_cues=cfg.attr_cues)
+            jitter_scale=cfg.age_jitter_scale, attr_cues=cfg.attr_cues,
+            texture_noise=cfg.texture_noise)
         # Linear wiring like the reference's linearPCANetworkU11L, but
         # trained with a 3-label serial graph (age, race, gender) so the
         # shared feature space is attribute-discriminative, not merely
@@ -487,7 +495,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                 real_source=real_source, real_frac=cfg.real_frac,
                 real_bg_frac=cfg.real_bg_frac,
                 contrast_normalize=cfg.contrast_normalize,
-                mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues)
+                mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues,
+                texture_noise=cfg.texture_noise)
             net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                        node=cfg.disc_node)
             net = train_network(net, x, graph="clustered", labels=cls,
@@ -511,7 +520,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
             keys[6], max(cfg.disc_faces // 2, 8), 20, face_geom,
             real_source=real_source, real_frac=cfg.real_frac,
             contrast_normalize=cfg.contrast_normalize,
-            attr_cues=cfg.attr_cues)
+            attr_cues=cfg.attr_cues, texture_noise=cfg.texture_noise)
         net9 = d_nets["net_disc_final"]
         feats = _execute(net9, res)
         clf9 = d_clfs["clf_Disc9"]

@@ -65,3 +65,33 @@ def test_background_cap_ladder():
     # monotone: capped cutoffs sit between reference and face values
     for s in serials:
         assert ref[s] <= capped[s] <= face[s]
+
+
+def test_texture_noise_injection():
+    """texture_noise adds band-passed energy: Laplacian variance and
+    gradient energy rise toward the real-photo range (the measured domain
+    gap, docs/domain_gap_r4.json) while pixels stay in [0, 1] and
+    noise_amp=0 leaves the blur-only path in place."""
+    import jax
+    import numpy as np
+
+    from pyfaceanalysis_tpu.training.datasets import _random_patch_blur
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[:64, :64] / 64.0
+    smooth = np.stack([0.3 + 0.4 * np.sin(3 * xx + i) * np.cos(2 * yy)
+                       for i in range(8)]).astype(np.float32)
+
+    def lap_var(p):
+        lap = (np.roll(p, 1, -1) + np.roll(p, -1, -1) + np.roll(p, 1, -2)
+               + np.roll(p, -1, -2) - 4 * p)
+        return lap.var(axis=(-2, -1)).mean()
+
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(_random_patch_blur(key, smooth))
+    noisy = np.asarray(_random_patch_blur(key, smooth, noise_amp=0.08))
+    assert noisy.min() >= 0.0 and noisy.max() <= 1.0
+    assert lap_var(noisy) > 3 * lap_var(base)
+    # amp=0 path unchanged vs explicit 0
+    again = np.asarray(_random_patch_blur(key, smooth, noise_amp=0.0))
+    np.testing.assert_array_equal(base, again)
