@@ -195,8 +195,54 @@ def _device_profile(detector, image, runs: int = 10):
     outs = [call() for _ in range(runs)]
     outs[-1].block_until_ready()
     dt = (time.time() - t0) / runs
-    bytes_pushed = detector._canvas_hw[0] * detector._canvas_hw[1]  # uint8
+    # uint8 wire bytes = the TRUE image extent; the canvas padding is
+    # produced on device (engine.detector._pad_convert).
+    bytes_pushed = int(image.shape[0] * image.shape[1])
     return dt, n_real, bytes_pushed
+
+
+def _transfer_profile(detector, image, batch: int = 16):
+    """Measured tunnel/host costs per batch -- the roofline context for the
+    streamed number (round-4 finding: the binding resources are the result
+    pull and host-side NMS/convert cycle, NOT the image push; stream_depth
+    overlaps them with device compute).
+
+    Fresh buffers each round: JAX dedupes repeat transfers of the same
+    host array, which silently turns a push benchmark into a no-op
+    (measured: 29 ms fresh vs 5 ms same-buffer for 12 MB)."""
+    import jax.numpy as jnp
+
+    h, w = image.shape
+    rng = np.random.RandomState(0)
+    bufs = [rng.randint(0, 255, (batch, h, w), np.uint8) for _ in range(3)]
+    jnp.asarray(bufs[0]).block_until_ready()
+    t0 = time.time()
+    for b in bufs:
+        jnp.asarray(b).block_until_ready()
+    push_s = (time.time() - t0) / len(bufs)
+    mb = bufs[0].nbytes / 1e6
+
+    imgs = [image] * batch
+    stack, fut = detector._dispatch_fused(imgs)
+    fut.block_until_ready()
+    t0 = time.time()
+    blk = np.asarray(fut)
+    pull_s = time.time() - t0
+    t0 = time.time()
+    detector._finish_fused(stack, blk, True)
+    finish_s = time.time() - t0
+    t0 = time.time()
+    np.stack([np.clip(np.asarray(im) * 255.0, 0, 255).astype(np.uint8)
+              for im in imgs])
+    conv_s = time.time() - t0
+    return {"push_mb_per_batch": round(mb, 1),
+            "push_seconds_per_batch": round(push_s, 4),
+            "push_mb_per_s": round(mb / push_s, 1),
+            "result_pull_seconds_per_batch": round(pull_s, 4),
+            "host_finish_seconds_per_batch": round(finish_s, 4),
+            "host_convert_seconds_per_batch": round(conv_s, 4),
+            "result_block_bytes": int(blk.nbytes),
+            "stream_depth": detector.config.stream_depth}
 
 
 def _device_profile_fused(detector, image, batch: int = 16, runs: int = 3):
@@ -339,6 +385,7 @@ def main() -> int:
     wps_stream = n_windows / dt_s
 
     # Device-only profile + compute-intensity accounting.
+    transfer = _transfer_profile(detector, image)
     dev_dt, n_real, bytes_pushed = _device_profile(detector, image)
     dev_dt_fused = _device_profile_fused(detector, image)
     flops_w = _flops_per_window(model)
@@ -377,6 +424,7 @@ def main() -> int:
             "device_windows_per_sec_fused_b16": round(
                 n_real / dev_dt_fused, 1),
             "bytes_pushed_per_image": int(bytes_pushed),
+            "transfer_profile": transfer,
             "flops_per_window": int(flops_w),
             "achieved_tflops": round(achieved_tflops, 4),
             "mfu_vs_bf16_peak_197tflops": round(
