@@ -356,8 +356,18 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
                 print(f"wrote cascade trace plot: {out}")
         if show_final_detection:
             from pyfaceanalysis_tpu import viz
+            try:
+                # RGB copy purely for the overlay figure, like the
+                # reference (FaceDetectUpdated.py:533-535); detection ran
+                # on the "L" image above.
+                rgb, _ = im_io.load_image(
+                    img_fn,
+                    cfg.prescale_size if cfg.image_prescaling else None,
+                    mode="RGB")
+            except Exception:
+                rgb = None
             out = viz.plot_final_detections(
-                image, detections, f"final_detection_{i:03d}.png")
+                image, detections, f"final_detection_{i:03d}.png", rgb=rgb)
             if out and verbose:
                 print(f"wrote final detection plot: {out}")
         total_windows += detector.windows_scanned

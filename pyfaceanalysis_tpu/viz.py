@@ -62,16 +62,22 @@ def plot_cascade_trace(image: np.ndarray, trace, stage_names: Sequence[str],
     return out_path
 
 
-def plot_final_detections(image: np.ndarray, detections, out_path: str
+def plot_final_detections(image: np.ndarray, detections, out_path: str,
+                          rgb: Optional[np.ndarray] = None
                           ) -> Optional[str]:
     """Final-detection figure: face boxes, eye markers, attribute labels
-    (FaceDetectUpdated.py:1198-1221)."""
+    (FaceDetectUpdated.py:1198-1221). ``rgb``: optional color copy of the
+    image for display -- the reference loads an RGB copy purely for its
+    overlays (FaceDetectUpdated.py:533-535) while detection runs on "L"."""
     plt = _plt()
     if plt is None:
         return None
     fig, ax = plt.subplots(figsize=(12, 9))
     fig.suptitle("Final face detections")
-    ax.imshow(image, cmap="gray", origin="upper")
+    if rgb is not None:
+        ax.imshow(np.clip(rgb, 0.0, 1.0), origin="upper")
+    else:
+        ax.imshow(image, cmap="gray", origin="upper")
     for d in detections:
         x0, y0, x1, y1 = d.box
         ax.plot([x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0], "w",
