@@ -471,8 +471,12 @@ def make_batched_grid_state(im_width: int, im_height: int, geom: NetGeometry,
     from pyfaceanalysis_tpu.config import bucket_size
 
     state, n_real, pyr = make_grid_state(im_width, im_height, geom, cfg)
-    if n_real == 0 or n_images <= 1:
+    if n_real == 0:
         return state, n_real, pyr
+    # n_images == 1 still goes through the tiling below: the fused cascade
+    # requires a per-row img_idx (the single-image state carries None),
+    # and 1-image batches DO reach the fused path -- e.g. the tail chunk
+    # of a detect_batch split at max_fused_batch (round-4 regression).
     total = bucket_size(n_images * n_real, cfg.bucket_sizes)
 
     def tile_pad(a, fill):

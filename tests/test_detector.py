@@ -303,6 +303,37 @@ class TestDetectEndToEnd:
         out = list(det.detect_stream([tiny], estimate_attributes=False))
         assert out == [[[], []]]
 
+    def test_stream_depth_flush_and_fused_chunking(self, loaded_model):
+        """depth > #batches must still yield every batch in order (final
+        flush), and detect_batch above max_fused_batch must chunk into
+        several fused programs with unchanged results (the Pallas crop
+        kernel's SMEM scalar metadata caps the per-program image count)."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10, max_fused_batch=2)
+        det = FaceDetector(loaded_model, cfg)
+        rng = np.random.RandomState(5)
+        imgs = [rng.rand(100, 120).astype(np.float32) for _ in range(5)]
+        chunked = det.detect_batch(imgs, estimate_attributes=False)
+        assert len(chunked) == 5
+        per_image = [det.detect(im, estimate_attributes=False)
+                     for im in imgs]
+        for c, s in zip(chunked, per_image):
+            assert len(c) == len(s)
+            for dc, ds in zip(c, s):
+                np.testing.assert_allclose(dc.box, ds.box, rtol=1e-4,
+                                           atol=1e-3)
+        batches = [imgs[:2], imgs[2:4]]
+        streamed = list(det.detect_stream(batches,
+                                          estimate_attributes=False,
+                                          depth=10))
+        assert len(streamed) == 2
+        for images, got in zip(batches, streamed):
+            want = det.detect_batch(images, estimate_attributes=False)
+            for g_dets, w_dets in zip(got, want):
+                assert len(g_dets) == len(w_dets)
+
     def test_arg_tta_k1_matches_baseline_and_k5_is_sane(self, loaded_model):
         """tta=1 must be bit-identical to the single-crop head path
         (zero offsets); tta=5 must keep detection geometry untouched and
