@@ -305,9 +305,12 @@ def run_detection(image_filenames, output_filenames, cfg: DetectorConfig,
         for i, im in enumerate(loaded):
             by_shape.setdefault(im.shape, []).append(i)
         for idxs in by_shape.values():
-            for k in range(0, len(idxs), 16):
-                chunk = idxs[k:k + 16]
-                dets = detector.detect_batch([loaded[i] for i in chunk])
+            # detect_stream pipelines push/compute/pull across chunks
+            # (config.stream_depth in flight) -- the serving path.
+            chunks = [idxs[k:k + 16] for k in range(0, len(idxs), 16)]
+            stream = detector.detect_stream(
+                ([loaded[i] for i in chunk] for chunk in chunks))
+            for chunk, dets in zip(chunks, stream):
                 for i, d in zip(chunk, dets):
                     results[i] = d
         benchmark.add_task_from_previous_time("Batched detection")
