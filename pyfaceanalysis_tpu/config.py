@@ -133,6 +133,15 @@ class DetectorConfig:
     # stack on device (~4 MB/image at the 1000px canvas).
     stream_depth: int = 3
 
+    # Result-block wire encoding for the fused batch path (TPU extension).
+    # "f32" = exact. "u16" = fixed-point pack on device (coords/angle at
+    # 1/16 px, confidence at 1/16384), halving the device->host result
+    # pull on tunneled links (measured round 4: 49 ms -> ~9 ms per
+    # batch-16 block). Quantization <= 1/32 px is far below every
+    # acceptance tolerance, but not bit-identical -- keep "f32" when
+    # comparing against f32-era panel numbers.
+    wire_format: str = "f32"
+
     # Largest image count per fused cascade program; bigger detect_batch
     # calls are chunked. The Pallas crop kernel keeps per-window scalar
     # metadata in SMEM (1 MB), which overflows near B=64 at the 1000px

@@ -156,6 +156,25 @@ def _pad_convert(u8: jax.Array, H: int, W: int) -> jax.Array:
     return jnp.pad(u8, pad).astype(jnp.float32) / 255.0
 
 
+def _wire_affine(ncols: int):
+    """Per-column (offset, scale) of the u16 fixed-point wire encoding:
+    pixel/degree columns at 1/16 with a +1024 offset (coords may run
+    negative after refinement drift; canvas <= 4095 px), confidence at
+    1/16384 (NMS ranks on it -- 1/16 granularity could reorder ties),
+    validity at 1."""
+    off = np.full(ncols, 1024.0, np.float32)
+    scale = np.full(ncols, 16.0, np.float32)
+    off[9], scale[9] = 0.0, 16384.0        # confidence
+    off[10], scale[10] = 0.0, 1.0          # validity flag
+    return off, scale
+
+
+def _unpack_wire(block: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the u16 wire pack (see _wire_affine)."""
+    off, scale = _wire_affine(block.shape[-1])
+    return block.astype(np.float32) / scale - off
+
+
 def _block_rows(block: np.ndarray) -> np.ndarray:
     """Valid rows of a pulled detection block: (n, 10) NMS/head rows
     [box, angle, PASS-1 eyes, conf], with the refined eye centers appended
@@ -410,7 +429,12 @@ def _detect_core_batch(plan, det_specs, geom, eye_geom, cfg, eye_specs,
     if cfg.eye_iters > 1:
         l_c2, r_c2 = _fin_centers(new_boxes)
         cols += [l_c2, r_c2]
-    return jnp.concatenate(cols, axis=2)
+    block = jnp.concatenate(cols, axis=2)
+    if cfg.wire_format == "u16":
+        off, scale = _wire_affine(block.shape[-1])
+        block = jnp.clip(jnp.round((block + off) * scale), 0.0,
+                         65535.0).astype(jnp.uint16)
+    return block
 
 
 class FaceDetector:
@@ -793,6 +817,8 @@ class FaceDetector:
         cfg = self.config
         if blocks is None or blocks.ndim == 0:   # n_real == 0 sentinel
             return [[] for _ in range(int(stack.shape[0]))]
+        if blocks.dtype == np.uint16:            # wire_format="u16"
+            blocks = _unpack_wire(blocks)
         purged_per_image: List[np.ndarray] = []
         for block in blocks:
             rows = _block_rows(block)

@@ -334,6 +334,34 @@ class TestDetectEndToEnd:
             for g_dets, w_dets in zip(got, want):
                 assert len(g_dets) == len(w_dets)
 
+    def test_wire_format_u16_matches_f32(self, loaded_model):
+        """The u16 fixed-point wire pack must reproduce the f32 batch
+        results to quantization (1/16 px on coords/angle, 1/16384 on
+        confidence) with identical detection counts."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        rng = np.random.RandomState(3)
+        imgs = [rng.rand(100, 120).astype(np.float32) for _ in range(3)]
+        blocks = {}
+        for wf in ("f32", "u16"):
+            cfg = DetectorConfig(smallest_face=0.4,
+                                 bucket_sizes=(256, 1024, 4096),
+                                 cut_offs_face=(1.01,) * 10,
+                                 wire_format=wf)
+            det = FaceDetector(loaded_model, cfg)
+            _, fut = det._dispatch_fused(imgs)
+            blocks[wf] = np.asarray(fut)
+        from pyfaceanalysis_tpu.engine.detector import _unpack_wire
+        assert blocks["u16"].dtype == np.uint16
+        got = _unpack_wire(blocks["u16"])
+        ref = blocks["f32"]
+        # validity exact; coords/angle to 1/32 px; confidence to 1/32768
+        np.testing.assert_array_equal(got[..., 10], ref[..., 10])
+        valid = ref[..., 10] > 0.5
+        np.testing.assert_allclose(got[..., :9][valid],
+                                   ref[..., :9][valid], atol=1.0 / 16)
+        np.testing.assert_allclose(got[..., 9][valid], ref[..., 9][valid],
+                                   atol=1.0 / 16384)
+
     def test_arg_tta_k1_matches_baseline_and_k5_is_sane(self, loaded_model):
         """tta=1 must be bit-identical to the single-crop head path
         (zero offsets); tta=5 must keep detection geometry untouched and
