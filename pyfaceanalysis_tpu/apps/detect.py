@@ -63,6 +63,9 @@ TPU-native extensions:
   --profile_dir=DIR           write a jax.profiler (xplane) trace
   --data_mesh=N               shard the window batch over N devices (ICI)
   --batch_mode=fused|async    batch path: one fused program vs per-image
+  --stream_depth=K            in-flight batches of the streaming path (3)
+  --wire_format=f32|u16       result-block wire encoding (u16 halves the
+                              device->host pull; 1/16 px quantization)
   --arg_tta=K                 average the age/race/gender heads over K
                               jittered crops per face (default 1)
   --eye_iters=K               eye-localization refinement passes; the eye
@@ -88,6 +91,7 @@ _LONG_OPTS = [
     "save_normalized_face_detections=", "pipeline_dir=", "verbose=",
     "distributed=", "coordinator=", "num_processes=", "process_id=",
     "profile_dir=", "data_mesh=", "batch_mode=", "arg_tta=", "eye_iters=",
+    "stream_depth=", "wire_format=",
     "arg_eyes=", "eye_report=",
 ]
 
@@ -186,6 +190,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg_kw["arg_tta"] = int(a)
         elif o == "--eye_iters":
             cfg_kw["eye_iters"] = int(a)
+        elif o == "--stream_depth":
+            cfg_kw["stream_depth"] = int(a)
+        elif o == "--wire_format":
+            cfg_kw["wire_format"] = a
         elif o == "--arg_eyes":
             cfg_kw["arg_eyes"] = a
         elif o == "--eye_report":
