@@ -86,6 +86,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="high-frequency texture injection amplitude for "
                         "training patches (domain-gap lever, "
                         "docs/domain_gap_r4.json; 0 = off)")
+    p.add_argument("--texture_noise_bg", type=float, default=0.0,
+                   help="background-only texture injection amplitude for "
+                        "the disc datasets (0 = inherit --texture_noise); "
+                        "FP lever that leaves the face classes untouched")
+    p.add_argument("--disc_graph", default="clustered",
+                   choices=["clustered", "serial"],
+                   help="disc training graph: reference-style 10-class "
+                        "clustered, or serial over the continuous "
+                        "centering fraction (pins more feature "
+                        "directions; disc seed-variance lever)")
     p.add_argument("--calib_bg_budget", type=float, default=0.0,
                    help="background cap of the calibrated disc ladder "
                         "(max cumulative pre-NMS background windows/image; "
@@ -113,7 +123,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 calibrate=not args.no_calibrate,
                 calib_scenes=args.calib_scenes,
                 calib_bg_budget=args.calib_bg_budget,
-                texture_noise=args.texture_noise)
+                texture_noise=args.texture_noise,
+                texture_noise_bg=args.texture_noise_bg,
+                disc_graph=args.disc_graph)
     if args.quick:
         real.update(calib_scenes=min(args.calib_scenes, 6),
                     selection_scenes=min(args.selection_scenes, 6))

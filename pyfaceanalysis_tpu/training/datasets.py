@@ -222,9 +222,11 @@ def pose_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
 def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                  num_classes: int = 10, real_source=None,
                  texture_noise: float = 0.0,
+                 texture_noise_bg: float = 0.0,
                  real_frac: float = 0.0, real_bg_frac: float = 0.0,
                  contrast_normalize: bool = False,
-                 mined_frac: float = 0.0, attr_cues: str = "v3"
+                 mined_frac: float = 0.0, attr_cues: str = "v3",
+                 return_frac: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Graded face-centering patches.
 
@@ -238,7 +240,17 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     the model's own real-photo mistakes as bootstrapped hard negatives.
     Returns (patches (N, 4096), class_ids (N,), avg_labels (C,) =
     linspace(0, 1, C)).
+
+    ``texture_noise_bg`` sets the background/mined-class injection
+    amplitude SEPARATELY from the graded face classes (0 = inherit
+    ``texture_noise``): the campaign-3 L5 result was that face-class
+    injection at 0.08 cuts real-photo FP but degrades real-face recall
+    (docs/ROUND4_NOTES.md), so the FP lever is exposed background-only.
+    ``return_frac=True`` appends the CONTINUOUS centering fraction per
+    patch (graded faces: [0, 1); background/mined: 1.0) for serial-graph
+    disc training (TrainConfig.disc_graph).
     """
+    bg_noise = texture_noise_bg if texture_noise_bg > 0 else texture_noise
     k_face, k_bg, k_mag, k_dir, k_cls = jax.random.split(key, 5)
     imgs, attrs = _face_canvases(k_face, num_faces, 22.5,
                                  real_source, real_frac,
@@ -307,7 +319,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
     bg_patches = _random_patch_blur(
         jax.random.fold_in(key, 98),
         _extract_batch(bg_imgs, bg_boxes, jnp.zeros((nb, per))),
-        noise_amp=texture_noise)
+        noise_amp=bg_noise)
     bg_patches = jnp.reshape(bg_patches, (nb * per, -1))
 
     n_mined = (int(nb * per * mined_frac)
@@ -319,7 +331,7 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
         hw = (geom.subimage_height, geom.subimage_width)
         mined = real_source.sample_mined_patches(seed, n_mined, hw)
         mined = _random_patch_blur(jax.random.fold_in(key, 97), mined,
-                                   noise_amp=texture_noise)
+                                   noise_amp=bg_noise)
         bg_patches = jnp.concatenate(
             [bg_patches, jnp.reshape(mined, (n_mined, -1))], axis=0)
 
@@ -328,8 +340,12 @@ def disc_dataset(key, num_faces: int, steps: int, geom: NetGeometry,
                               np.full(nb * per + n_mined, num_classes - 1,
                                       np.int64)])
     avg_labels = np.linspace(0.0, 1.0, num_classes)
-    return _maybe_contrast(all_patches, contrast_normalize), all_cls, \
-        avg_labels
+    out = _maybe_contrast(all_patches, contrast_normalize)
+    if return_frac:
+        frac_all = np.concatenate([np.asarray(frac).reshape(-1),
+                                   np.ones(nb * per + n_mined)])
+        return out, all_cls, avg_labels, frac_all
+    return out, all_cls, avg_labels
 
 
 def residual_dataset(key, num_faces: int, steps: int,

@@ -264,6 +264,22 @@ class TrainConfig:
     # real faces carrying ~3x the gradient energy; 0 = off (the shipped
     # provenance). A/B knob -- pre-registered protocol before adoption.
     texture_noise: float = 0.0
+    # Background-only texture injection for the DISC datasets (0 = inherit
+    # texture_noise). Campaign-3 L5: face-class injection at 0.08 cut
+    # real-photo FP ~2x but caused systematic real-face misses; injecting
+    # into the background/mined classes only keeps the FP lever without
+    # touching what the disc learns a face looks like.
+    texture_noise_bg: float = 0.0
+    # Training graph of the disc nets: "clustered" (reference semantics --
+    # 10 graded classes, within-class edges) or "serial" over the
+    # CONTINUOUS centering fraction (50 groups, neighbor edges). The
+    # clustered 10-class graph pins at most ~9 feature directions while
+    # the layers keep 13-20 outputs; the free-rotating remainder is the
+    # leading hypothesis for single-seed disc-retrain variance exceeding
+    # the ship guard band (docs/ROUND4_NOTES.md, variance root-cause
+    # section). A serial graph over the continuous grade pins up to
+    # ~num_groups-1 directions.
+    disc_graph: str = "clustered"
 
 
 # (type, network, classifier, input_dim) rows of the produced pipeline; "None0"
@@ -490,17 +506,27 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         for name in disc_names:
             cname = disc_clf_of[name]
             log(f"[train] {name}{tag}: rendering graded centering classes...")
-            x, cls, avg = datasets.disc_dataset(
+            serial = cfg.disc_graph == "serial"
+            out = datasets.disc_dataset(
                 dkeys[name], cfg.disc_faces, cfg.disc_steps, face_geom,
                 real_source=real_source, real_frac=cfg.real_frac,
                 real_bg_frac=cfg.real_bg_frac,
                 contrast_normalize=cfg.contrast_normalize,
                 mined_frac=cfg.mined_frac, attr_cues=cfg.attr_cues,
-                texture_noise=cfg.texture_noise)
+                texture_noise=cfg.texture_noise,
+                texture_noise_bg=cfg.texture_noise_bg,
+                return_frac=serial)
             net = builder.build_higsfa(64, top_dim=cfg.top_dim,
                                        node=cfg.disc_node)
-            net = train_network(net, x, graph="clustered", labels=cls,
-                                mesh=mesh, verbose=verbose)
+            if serial:
+                x, cls, avg, frac = out
+                net = train_network(net, x, graph="serial", labels=frac,
+                                    num_groups=50, mesh=mesh,
+                                    verbose=verbose)
+            else:
+                x, cls, avg = out
+                net = train_network(net, x, graph="clustered", labels=cls,
+                                    mesh=mesh, verbose=verbose)
             d_nets[name] = net
             feats = _execute(net, x)
             d_clfs[cname] = fit_regressor_classes(feats, cls, avg,

@@ -95,3 +95,62 @@ def test_texture_noise_injection():
     # amp=0 path unchanged vs explicit 0
     again = np.asarray(_random_patch_blur(key, smooth, noise_amp=0.0))
     np.testing.assert_array_equal(base, again)
+
+
+def test_disc_dataset_bg_only_noise_and_frac():
+    """texture_noise_bg injects into the background class only (graded
+    face patches bit-identical to the no-noise run), and return_frac
+    yields the continuous centering fraction aligned with the class ids
+    (graded classes in [0,1), background exactly 1.0)."""
+    import jax
+    import numpy as np
+
+    from pyfaceanalysis_tpu.config import NetGeometry
+    from pyfaceanalysis_tpu.training import datasets
+
+    key = jax.random.PRNGKey(3)
+    geom = NetGeometry()
+    base, cls, avg, frac = datasets.disc_dataset(
+        key, 6, 8, geom, return_frac=True)
+    noisy, cls2, _, frac2 = datasets.disc_dataset(
+        key, 6, 8, geom, texture_noise_bg=0.08, return_frac=True)
+    base, noisy = np.asarray(base), np.asarray(noisy)
+    np.testing.assert_array_equal(cls, cls2)
+    np.testing.assert_array_equal(frac, frac2)
+    faces, bg = cls < 9, cls == 9
+    # face classes untouched, background class actually perturbed
+    np.testing.assert_array_equal(base[faces], noisy[faces])
+    assert np.abs(base[bg] - noisy[bg]).max() > 1e-3
+    # frac semantics: continuous on faces, aligned with the class grade
+    assert frac.shape == cls.shape
+    np.testing.assert_array_equal(frac[bg], 1.0)
+    assert frac[faces].max() < 1.0
+    c = cls[faces].astype(float)
+    lo, hi = c / 9.0, (c + 1.0) / 9.0
+    assert np.all(frac[faces] >= lo - 1e-6)
+    assert np.all(frac[faces] <= hi + 1e-6)
+
+
+def test_serial_disc_graph_trains():
+    """disc_graph='serial' trains a working discriminator: tiny serial-
+    graph disc run still separates centered faces from background."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyfaceanalysis_tpu.config import NetGeometry
+    from pyfaceanalysis_tpu.models import builder
+    from pyfaceanalysis_tpu.training import datasets
+    from pyfaceanalysis_tpu.training.trainer import (
+        fit_regressor_classes, train_network)
+
+    geom = NetGeometry()
+    x, cls, avg, frac = datasets.disc_dataset(
+        jax.random.PRNGKey(11), 10, 14, geom, return_frac=True)
+    net = builder.build_higsfa(64, top_dim=12, node="igsfa")
+    net = train_network(net, x, graph="serial", labels=frac,
+                        num_groups=24, verbose=False)
+    feats = np.asarray(jax.jit(net.execute)(x))
+    clf = fit_regressor_classes(feats, cls, avg, input_dim=9)
+    pred = np.asarray(clf.regression(jnp.asarray(feats[:, :clf.input_dim])))
+    assert pred[cls <= 1].mean() + 0.3 < pred[cls == 9].mean()
