@@ -96,6 +96,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "clustered, or serial over the continuous "
                         "centering fraction (pins more feature "
                         "directions; disc seed-variance lever)")
+    p.add_argument("--age_real_frac", type=float, default=0.0,
+                   help="fraction of the age-net training set drawn from "
+                        "REAL anchor faces via the deploy-path Z-frame "
+                        "affine (0 = synthetic-only, the shipped "
+                        "provenance; turning this on makes the "
+                        "anchors-attrs check in-training -- see "
+                        "data/anchor_attrs.txt leak note)")
+    p.add_argument("--age_real_exclude", default="",
+                   help="anchor photo basename to hold out of the real "
+                        "age pool (leave-one-photo-out measurement)")
     p.add_argument("--calib_bg_budget", type=float, default=0.0,
                    help="background cap of the calibrated disc ladder "
                         "(max cumulative pre-NMS background windows/image; "
@@ -125,7 +135,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 calib_bg_budget=args.calib_bg_budget,
                 texture_noise=args.texture_noise,
                 texture_noise_bg=args.texture_noise_bg,
-                disc_graph=args.disc_graph)
+                disc_graph=args.disc_graph,
+                age_real_frac=args.age_real_frac,
+                age_real_exclude=args.age_real_exclude)
     if args.quick:
         real.update(calib_scenes=min(args.calib_scenes, 6),
                     selection_scenes=min(args.selection_scenes, 6))

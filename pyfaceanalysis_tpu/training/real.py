@@ -119,6 +119,8 @@ class RealFaceSource:
         self._path_to_base: Dict[str, int] = dict(path_to_idx)
         for fn, bi in list(path_to_idx.items()):
             self._path_to_base.setdefault(os.path.basename(fn), bi)
+        self._base_name: Dict[int, str] = {
+            bi: os.path.basename(fn) for fn, bi in path_to_idx.items()}
         self._mined = np.zeros((0, 5), np.float32)  # (bi, cx, cy, side, ang)
         if mined_file:
             self.load_mined(mined_file, verbose=verbose)
@@ -329,6 +331,100 @@ class RealFaceSource:
                                       method="bilinear",
                                       image_idx=jnp.asarray(img_idx))
         return imgs
+
+    def sample_age_zframes(self, seed: int, n: int,
+                           attrs_file: str = "",
+                           eye_jitter_frac: float = 0.08,
+                           exclude: str = ""):
+        """n deploy-identical 96x96 age-head input patches of the REAL
+        anchor faces + their true (age, race, gender) labels.
+
+        The extraction is the production attribute path itself
+        (engine.heads: eyes -> "eyes_inferred-mouth_areaZ" frame_params ->
+        composed-affine gather -> AgeContrastEnhancement), driven by the
+        annotated eye coordinates perturbed by ``eye_jitter_frac`` x
+        inter-eye per eye -- the measured deploy-time eye-localization
+        error (anchors rel. eye error ~0.088, docs/ROUND4_REPORT.md) --
+        so training jitter matches what the heads see behind the real
+        detector. Aliasing variants and mirrored twins augment like every
+        other real sampler here. Reference analog: the training corpora
+        were real photos normalized through the same geometry
+        (face_normalization_tools.py:111-329 + face_analysis.py:1214-1247).
+
+        ``exclude`` drops one photo (basename) for leave-one-photo-out
+        measurement. Labels come from ``attrs_file`` (anchor_attrs.txt
+        format: basename age race gender); ages are clipped to the
+        decoder's 16.5-57.8y label ladder (the reference Age classifier's
+        own ceiling). Returns (flat (n, 9216) contrast-enhanced patches
+        on device, labels dict of np arrays age/race/gender).
+        """
+        import jax.numpy as jnp
+
+        from pyfaceanalysis_tpu.engine.heads import _sample_age_patches
+        from pyfaceanalysis_tpu.ops.contrast import contrast_enhance_patches
+        from pyfaceanalysis_tpu import normalization
+        from pyfaceanalysis_tpu.training.datasets import Z_SIZE
+
+        if not attrs_file:
+            attrs_file = os.path.join(os.path.dirname(DEFAULT_GT),
+                                      "anchor_attrs.txt")
+        attr_of: Dict[str, Tuple[float, float, float]] = {}
+        with open(attrs_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, age_s, race_s, gender_s = line.split()
+                attr_of[name] = (
+                    min(float(age_s), 57.8),
+                    2.0 if race_s.lower() == "white" else -2.0,
+                    1.0 if gender_s.lower() == "female" else -1.0)
+
+        usable = []
+        for fi, (ii, el, er, mo) in enumerate(self._faces):
+            base = (ii % self._n_images) // 3
+            name = self._base_name.get(base, "")
+            if name in attr_of and name != exclude:
+                usable.append((fi, attr_of[name]))
+        if not usable:
+            raise ValueError(f"no usable anchor faces ({attrs_file}, "
+                             f"exclude={exclude!r})")
+
+        rng = np.random.RandomState(seed + 31)
+        pick = rng.randint(0, len(usable), n)
+        centers = np.zeros((n, 2), np.float32)
+        angles = np.zeros(n, np.float32)
+        sfs = np.zeros(n, np.float32)
+        img_idx = np.zeros(n, np.int32)
+        age = np.zeros(n, np.float32)
+        race = np.zeros(n, np.float32)
+        gender = np.zeros(n, np.float32)
+        for i in range(n):
+            fi, (a, r, g) = usable[pick[i]]
+            ii, el, er, _mo = self._faces[fi]
+            inter = float(np.hypot(*(er - el)))
+            jr = eye_jitter_frac * inter
+            th = rng.uniform(0.0, 2 * np.pi, 2)
+            rad = jr * np.sqrt(rng.uniform(0.0, 1.0, 2))
+            elj = el + rad[0] * np.array([np.cos(th[0]), np.sin(th[0])])
+            erj = er + rad[1] * np.array([np.cos(th[1]), np.sin(th[1])])
+            fp = normalization.frame_params(
+                [elj[0], elj[1], erj[0], erj[1], 0.0, 0.0],
+                normalization_method="eyes_inferred-mouth_areaZ",
+                centering_mode="mid_eyes_inferred-mouth",
+                rotation_mode="EyeLineRotation",
+                out_size=(Z_SIZE[1], Z_SIZE[0]))
+            centers[i] = [fp.center_x, fp.center_y]
+            angles[i] = fp.angle_deg
+            sfs[i] = fp.sf
+            img_idx[i] = ii
+            age[i], race[i], gender[i] = a, r, g
+        patches = _sample_age_patches(
+            self._stack, jnp.asarray(centers), jnp.asarray(angles),
+            jnp.asarray(sfs), jnp.asarray(img_idx))
+        flat = contrast_enhance_patches(patches.reshape(n, -1),
+                                        obj_avg=0.0, obj_std=0.16)
+        return flat, {"age": age, "race": race, "gender": gender}
 
 
 def default_source(verbose: bool = True) -> Optional[RealFaceSource]:

@@ -270,6 +270,18 @@ class TrainConfig:
     # into the background/mined classes only keeps the FP lever without
     # touching what the disc learns a face looks like.
     texture_noise_bg: float = 0.0
+    # Fraction of the age-net training set drawn from REAL anchor faces
+    # warped through the deploy-path Z-frame affine with deploy-matched
+    # eye jitter (RealFaceSource.sample_age_zframes). 0 = synthetic-only
+    # (the r1-r4 shipped provenance -- and the provenance of the
+    # anchor-attrs leak note in data/anchor_attrs.txt: flipping this on
+    # makes the anchors-attrs check IN-TRAINING; report leave-one-out
+    # numbers via age_real_exclude for the honest generalization
+    # estimate). VERDICT r3 next #2's sanctioned lever.
+    age_real_frac: float = 0.0
+    # Basename of one anchor photo to HOLD OUT of the real age pool
+    # (leave-one-photo-out measurement).
+    age_real_exclude: str = ""
     # Training graph of the disc nets: "clustered" (reference semantics --
     # 10 graded classes, within-class edges) or "serial" over the
     # CONTINUOUS centering fraction (50 groups, neighbor edges). The
@@ -464,10 +476,22 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         _load_reused("net_age", ["clf_Age", "clf_Race", "clf_Gender"])
     else:
         log("[train] net_age: rendering Z-frame faces...")
+        n_real_age = (int(cfg.age_samples * cfg.age_real_frac)
+                      if real_source is not None else 0)
         x, labels = datasets.age_dataset(
-            keys[5], cfg.age_samples, jitter_px=cfg.age_jitter_px,
+            keys[5], cfg.age_samples - n_real_age,
+            jitter_px=cfg.age_jitter_px,
             jitter_scale=cfg.age_jitter_scale, attr_cues=cfg.attr_cues,
             texture_noise=cfg.texture_noise)
+        if n_real_age > 0:
+            log(f"[train] net_age: + {n_real_age} real anchor Z-frames"
+                + (f" (excluding {cfg.age_real_exclude})"
+                   if cfg.age_real_exclude else ""))
+            xr, lr = real_source.sample_age_zframes(
+                cfg.seed + 17, n_real_age, exclude=cfg.age_real_exclude)
+            x = jnp.concatenate([x, xr], axis=0)
+            labels = {k: np.concatenate([np.asarray(labels[k]), lr[k]])
+                      for k in labels}
         # Linear wiring like the reference's linearPCANetworkU11L, but
         # trained with a 3-label serial graph (age, race, gender) so the
         # shared feature space is attribute-discriminative, not merely

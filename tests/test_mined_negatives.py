@@ -75,3 +75,35 @@ def test_disc_dataset_mined_background(photo_and_files):
     assert int((cls0 != 9).sum()) == int((cls1 != 9).sum())
     assert x1.shape[0] == len(cls1) and x1.shape[1] == 64 * 64
     np.testing.assert_array_equal(avg0, avg1)
+
+
+def test_sample_age_zframes(photo_and_files, tmp_path):
+    """Real-anchor age Z-frames: deploy-path extraction shape/labels,
+    deterministic under seed, and leave-one-out exclusion."""
+    photo, gt, _ = photo_and_files
+    attrs = str(tmp_path / "attrs.txt")
+    with open(attrs, "w") as f:
+        f.write("# basename age race gender\n")
+        f.write(os.path.basename(photo) + " 78 White Female\n")
+    rs = RealFaceSource(gt, verbose=False)
+
+    flat, labels = rs.sample_age_zframes(0, 6, attrs_file=attrs)
+    flat = np.asarray(flat)
+    assert flat.shape == (6, 96 * 96)
+    # age clipped to the decoder's 57.8y ladder ceiling
+    np.testing.assert_allclose(labels["age"], 57.8)
+    np.testing.assert_allclose(labels["race"], 2.0)
+    np.testing.assert_allclose(labels["gender"], 1.0)
+    # eye jitter + variants: samples differ from each other
+    assert np.abs(flat[0] - flat[1]).max() > 1e-4
+    # deterministic under the seed
+    again, _ = rs.sample_age_zframes(0, 6, attrs_file=attrs)
+    np.testing.assert_array_equal(flat, np.asarray(again))
+    # contrast enhancement applied (zero mean / 0.16 std per patch)
+    assert abs(flat.mean()) < 1e-3
+    np.testing.assert_allclose(flat.std(axis=1), 0.16, atol=1e-3)
+
+    # excluding the only photo leaves no usable faces
+    with pytest.raises(ValueError):
+        rs.sample_age_zframes(0, 2, attrs_file=attrs,
+                              exclude=os.path.basename(photo))
