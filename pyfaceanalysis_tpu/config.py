@@ -133,6 +133,15 @@ class DetectorConfig:
     # stack on device (~4 MB/image at the 1000px canvas).
     stream_depth: int = 3
 
+    # detect_stream push prefetch (TPU extension): a producer thread runs
+    # the uint8 conversion + host->device canvas push for upcoming batches
+    # while the main thread dispatches/pulls/post-processes. On tunneled
+    # links the blocking push is the single largest host cost (round-4
+    # profile: 354 ms/batch-16 vs 131 ms for pull+NMS+heads), so without
+    # this the stream serializes on it. Outputs are identical by
+    # construction (same arrays, same order).
+    stream_push_prefetch: bool = True
+
     # Result-block wire encoding for the fused batch path (TPU extension).
     # "f32" = exact. "u16" = fixed-point pack on device (coords/angle at
     # 1/16 px, confidence at 1/16384), halving the device->host result

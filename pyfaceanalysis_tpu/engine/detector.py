@@ -765,28 +765,31 @@ class FaceDetector:
 
     # -- fused-path pieces (shared by detect_batch and detect_stream) ---------
 
-    def _dispatch_fused(self, images: Sequence[np.ndarray]):
+    def _dispatch_fused(self, images: Sequence[np.ndarray], stack=None):
         """Pushes a same-sized image batch and dispatches the fused cascade.
 
         Returns ``(stack, future)`` where ``future`` is the not-yet-pulled
         (B, k, 11) device block. Both the host->device transfer and the
         cascade run asynchronously -- callers can overlap them with host
-        work or with pulling a previous batch (see detect_stream)."""
+        work or with pulling a previous batch (see detect_stream).
+        ``stack`` may carry the already-pushed canvas batch (the stream's
+        push-prefetch thread produces it; None = convert+push here)."""
         cfg, model = self.config, self.model
         geom = model.spec.face_geom
         im_h, im_w = images[0].shape
         B = len(images)
         state_b, n_real, pyr_b = self._grid_state(im_w, im_h, batch=B)
         self.windows_scanned = n_real
+        if stack is None:
+            stack = self._to_canvas_batch(images)
         if n_real == 0:
             # Image below the scale envelope: nothing to scan. The
             # sentinel future keeps the dispatch/finish contract.
-            return self._to_canvas_batch(images), None
+            return stack, None
         eye_net = model.nets["net_eye"]
         use_pyr = (pyr_b is not None and
                    cfg.interpolation_formats[model.plan[0].serial]
                    == "nearest")
-        stack = self._to_canvas_batch(images)
         pyramid_b = crops_b = scales_b = None
         n_levels = 0
         if use_pyr:
@@ -863,12 +866,72 @@ class FaceDetector:
             return self._finish_fused(stack, np.asarray(fut),
                                       estimate_attributes)
 
+        def is_ragged(images):
+            return (len(images) == 0 or
+                    len(images) > cfg.max_fused_batch or
+                    any(im.shape != images[0].shape for im in images) or
+                    cfg.track_single_face or cfg.batch_mode != "fused")
+
+        if cfg.stream_push_prefetch:
+            # Producer thread: uint8 conversion + the BLOCKING tunnel push
+            # run ahead of the main thread (which dispatches cascades and
+            # post-processes pulled results). numpy clip/astype and the
+            # device_put both release the GIL, so this is true overlap.
+            import queue as _queue
+            import threading
+
+            ready: _queue.Queue = _queue.Queue(maxsize=depth)
+            _END = object()
+            stop = threading.Event()
+
+            def produce():
+                try:
+                    for images in batches:
+                        if stop.is_set():       # consumer abandoned us
+                            return
+                        stack = None
+                        if not is_ragged(images):
+                            stack = self._to_canvas_batch(images)
+                        ready.put((images, stack))
+                except BaseException as e:      # re-raised on the consumer
+                    ready.put(e)
+                    return
+                ready.put(_END)
+
+            t = threading.Thread(target=produce, daemon=True,
+                                 name="pfa-stream-push")
+            t.start()
+            try:
+                while True:
+                    item = ready.get()
+                    if item is _END:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    images, stack = item
+                    if stack is None:           # ragged: flush + fall back
+                        while q:
+                            yield finish_oldest()
+                        yield self.detect_batch(images,
+                                                estimate_attributes)
+                        continue
+                    q.append(self._dispatch_fused(images, stack=stack))
+                    if len(q) >= depth:
+                        yield finish_oldest()
+                while q:
+                    yield finish_oldest()
+            finally:
+                stop.set()
+                try:                 # unblock a put-blocked producer
+                    while True:
+                        ready.get_nowait()
+                except _queue.Empty:
+                    pass
+                t.join(timeout=5.0)
+            return
+
         for images in batches:
-            ragged = (len(images) == 0 or
-                      len(images) > cfg.max_fused_batch or
-                      any(im.shape != images[0].shape for im in images) or
-                      cfg.track_single_face or cfg.batch_mode != "fused")
-            if ragged:
+            if is_ragged(images):
                 while q:
                     yield finish_oldest()
                 yield self.detect_batch(images, estimate_attributes)

@@ -303,6 +303,51 @@ class TestDetectEndToEnd:
         out = list(det.detect_stream([tiny], estimate_attributes=False))
         assert out == [[[], []]]
 
+    def test_stream_push_prefetch_equality(self, loaded_model):
+        """The push-prefetch producer thread must yield exactly the
+        synchronous stream's results (same batches, same order), incl.
+        across a ragged flush, and the thread must wind down when the
+        consumer abandons the generator early."""
+        from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        rng = np.random.RandomState(17)
+        batches = [
+            [rng.rand(100, 120).astype(np.float32) for _ in range(2)],
+            [rng.rand(100, 120).astype(np.float32),      # ragged sizes
+             rng.rand(90, 110).astype(np.float32)],
+            [rng.rand(100, 120).astype(np.float32) for _ in range(2)],
+        ]
+        outs = {}
+        for pre in (False, True):
+            cfg = DetectorConfig(smallest_face=0.4,
+                                 bucket_sizes=(256, 1024, 4096),
+                                 cut_offs_face=(1.01,) * 10,
+                                 stream_push_prefetch=pre)
+            det = FaceDetector(loaded_model, cfg)
+            outs[pre] = list(det.detect_stream(batches,
+                                               estimate_attributes=False))
+        assert len(outs[True]) == len(outs[False]) == len(batches)
+        for got, want in zip(outs[True], outs[False]):
+            assert len(got) == len(want)
+            for g_dets, w_dets in zip(got, want):
+                assert len(g_dets) == len(w_dets)
+                for g, w in zip(g_dets, w_dets):
+                    np.testing.assert_allclose(g.box, w.box, rtol=1e-5,
+                                               atol=1e-4)
+        # early abandonment: closing the generator must not hang
+        import threading
+        cfg = DetectorConfig(smallest_face=0.4,
+                             bucket_sizes=(256, 1024, 4096),
+                             cut_offs_face=(1.01,) * 10)
+        det = FaceDetector(loaded_model, cfg)
+        gen = det.detect_stream([batches[0]] * 6,
+                                estimate_attributes=False)
+        next(gen)
+        gen.close()
+        for t in threading.enumerate():
+            if t.name == "pfa-stream-push":
+                t.join(timeout=10.0)
+                assert not t.is_alive()
+
     def test_stream_depth_flush_and_fused_chunking(self, loaded_model):
         """depth > #batches must still yield every batch in order (final
         flush), and detect_batch above max_fused_batch must chunk into
