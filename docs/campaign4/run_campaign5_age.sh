@@ -36,6 +36,15 @@ run_leg() {  # $1 leg name, $2 extra pfa-train args
   echo "$1 anchors rc=$?"
 }
 
+# Baseline leg (campaign-5 amendment): re-measure panel777 attrs on the
+# PROMOTED artifacts (campaign-4 ship changed the disc stack; the A6
+# baselines are stale). Detection metrics double as the bit-identity
+# reference for rule (c).
+timeout 2400 python tools/eval_synth.py --pipeline_dir SavedNetworksTPU \
+  --n 48 --seed 777 --json docs/campaign4/age_base_panel777.json \
+  > "$C5/base_panel.log" 2>&1
+echo "base panel rc=$?"
+
 run_leg loo_emma  "--age_real_exclude EmmaWatson2.png"
 run_leg loo_entre "--age_real_exclude Entrepreneur.png"
 run_leg loo_grace "--age_real_exclude grace_hopper.jpg"
