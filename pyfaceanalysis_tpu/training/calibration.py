@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -217,8 +217,18 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
                     anchors: str = "data/train_faces_gt.txt",
                     smallest_face: float = 0.15,
                     bg_budget: float = 0.0,
+                    anchor_small_ie: Tuple[float, ...] = (),
                     verbose: bool = True) -> Dict:
     """Computes the calibrated disc ladder + eye gate for ``model_dir``.
+
+    ``anchor_small_ie`` adds SMALL-SCALE replicas of each real anchor photo
+    to the spare pool (campaign-7 L0, docs/ROUND4_NOTES.md): for each
+    target inter-eye size (px), the photo is downscaled with the product's
+    own prescale method (PIL NEAREST, io.images.load_image semantics) so
+    its median face lands at that size before trajectories are collected.
+    The native anchors present faces at inter-eye 65-109 px while the
+    product scans 19-30 px faces on group photos; without replicas the
+    ladder is never asked to spare a real face at the scanned size.
 
     ``bg_budget`` > 0 adds a PRECISION constraint: the face-quantile ladder
     is interpolated back toward the reference constants (never below them)
@@ -298,16 +308,34 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
         for f, rows in by_file.items():
             image, factor = load_image(f, cfg.prescale_size)
             rows = np.stack(rows) * factor
-            fc, bg, cov, nc, eregs = collect_image(det, image, rows, cfg,
-                                                   model)
-            for d in fc:
-                for s, v in d.items():
-                    per_stage[s].append(v)
-            bg_images.append(bg)
-            eye_regs_real.extend(eregs)
-            total_faces += len(rows)
-            total_covered += cov
-            total_conv += nc
+            passes = [(image, rows)]
+            # Small-scale replicas: downscale so the median face lands at
+            # each target inter-eye size (the group-photo regime).
+            ie = np.median(np.hypot(rows[:, 2] - rows[:, 0],
+                                    rows[:, 3] - rows[:, 1]))
+            for target in anchor_small_ie:
+                s = float(target) / float(ie)
+                if s >= 0.9:            # already near/below the target size
+                    continue
+                from PIL import Image as _PILImage
+                im = _PILImage.fromarray(
+                    np.clip(image * 255.0, 0, 255).astype(np.uint8))
+                w, h = im.size
+                small = im.resize((max(int(w * s), 64), max(int(h * s), 64)),
+                                  _PILImage.NEAREST)
+                passes.append((np.asarray(small, np.float32) / 255.0,
+                               rows * s))
+            for p_img, p_rows in passes:
+                fc, bg, cov, nc, eregs = collect_image(det, p_img, p_rows,
+                                                       cfg, model)
+                for d in fc:
+                    for s2, v in d.items():
+                        per_stage[s2].append(v)
+                bg_images.append(bg)
+                eye_regs_real.extend(eregs)
+                total_faces += len(p_rows)
+                total_covered += cov
+                total_conv += nc
 
     log(f"\ncalibration set: {total_faces} faces "
         f"({total_covered} covered by the grid, "

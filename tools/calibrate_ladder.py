@@ -32,9 +32,16 @@ def main(argv=None):
                          "at this many windows/image by interpolating the "
                          "ladder back toward the reference constants "
                          "(0 = off)")
+    ap.add_argument("--anchor_small_ie", default="",
+                    help="comma-separated target inter-eye sizes (px); "
+                         "adds downscaled real-anchor replicas to the "
+                         "spare pool so the ladder also spares real faces "
+                         "at group-photo scan sizes (campaign-7 L0)")
     ap.add_argument("--write", action="store_true",
                     help="write the calibrated ladder into the manifest")
     args = ap.parse_args(argv)
+    small_ie = tuple(float(x) for x in args.anchor_small_ie.split(",")
+                     if x.strip())
 
     from pyfaceanalysis_tpu.training import calibration
 
@@ -42,7 +49,7 @@ def main(argv=None):
         args.model, scenes=args.scenes, seed=args.seed, canvas=args.canvas,
         angle_max=args.angle_max, q=args.q, margin=args.margin,
         anchors=args.anchors, smallest_face=args.smallest_face,
-        bg_budget=args.bg_budget)
+        bg_budget=args.bg_budget, anchor_small_ie=small_ie)
     if args.write:
         calibration.write_calibration(args.model, result)
     else:
