@@ -110,6 +110,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="background cap of the calibrated disc ladder "
                         "(max cumulative pre-NMS background windows/image; "
                         "0 = off)")
+    p.add_argument("--calib_anchor_small_ie", default="",
+                   help="comma-separated target inter-eye sizes (px): adds "
+                        "downscaled real-anchor replicas to the calibration "
+                        "spare pool so the ladder also spares real faces at "
+                        "group-photo scan sizes (campaign-7 L0)")
     p.add_argument("--data_mesh", type=int, default=0,
                    help="shard every network's moment accumulation over an "
                         "N-device data mesh (GSPMD; 0 = single device)")
@@ -133,6 +138,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 calibrate=not args.no_calibrate,
                 calib_scenes=args.calib_scenes,
                 calib_bg_budget=args.calib_bg_budget,
+                calib_anchor_small_ie=tuple(
+                    float(x) for x in args.calib_anchor_small_ie.split(",")
+                    if x.strip()),
                 texture_noise=args.texture_noise,
                 texture_noise_bg=args.texture_noise_bg,
                 disc_graph=args.disc_graph,

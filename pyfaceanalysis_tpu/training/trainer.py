@@ -258,6 +258,9 @@ class TrainConfig:
     # Background cap of the calibrated ladder (campaign-3 L0; 0 = off):
     # max cumulative pre-NMS background windows/image.
     calib_bg_budget: float = 0.0
+    # Small-scale real-anchor replicas in the calibration spare pool
+    # (campaign-7 L0): target inter-eye sizes in px, () = off.
+    calib_anchor_small_ie: tuple = ()
     # High-frequency texture injection amplitude for ALL training patch
     # batches (datasets._random_patch_blur noise_amp / age_dataset): the
     # measured renderer-vs-photograph gap (docs/domain_gap_r4.json) is
@@ -609,7 +612,9 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         log(f"[train] calibrating disc ladder + eye gate for {dest}...")
         result = calibration.calibrate_model(
             dest, scenes=cfg.calib_scenes, seed=cfg.calib_seed,
-            bg_budget=cfg.calib_bg_budget, verbose=verbose)
+            bg_budget=cfg.calib_bg_budget,
+            anchor_small_ie=tuple(cfg.calib_anchor_small_ie),
+            verbose=verbose)
         calibration.write_calibration(dest, result, verbose=verbose)
 
     if _reusable("net_disc"):
