@@ -51,6 +51,9 @@ def main(argv=None) -> int:
                     choices=["", "f32", "bf16"],
                     help="network GEMM operand dtype; default '' = the "
                          "production DetectorConfig default")
+    ap.add_argument("--wire_format", default="", choices=["", "f32", "u16"],
+                    help="fused result-block wire format; default '' = the "
+                         "production DetectorConfig default")
     args = ap.parse_args(argv)
 
     from pyfaceanalysis_tpu.config import DetectorConfig
@@ -76,7 +79,9 @@ def main(argv=None) -> int:
         smallest_face=args.smallest_face, eye_iters=args.eye_iters,
         arg_eyes=args.arg_eyes, eye_report=args.eye_report,
         **({"matmul_dtype": args.matmul_dtype}
-           if args.matmul_dtype else {})))
+           if args.matmul_dtype else {}),
+        **({"wire_format": args.wire_format}
+           if args.wire_format else {})))
     filenames, _ = load_true_coordinates("", args.anchors)
     per_photo = []
     attr_rows = []

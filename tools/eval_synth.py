@@ -72,6 +72,9 @@ def main(argv=None) -> int:
                         "eye_iters>1")
     p.add_argument("--chunk", type=int, default=16,
                    help="images per fused detect_batch dispatch")
+    p.add_argument("--wire_format", default="", choices=["", "f32", "u16"],
+                   help="fused result-block wire format; default '' = the "
+                        "production DetectorConfig default")
     p.add_argument("--json", default=None,
                    help="write the machine-readable report here")
     args = p.parse_args(argv)
@@ -89,7 +92,9 @@ def main(argv=None) -> int:
                          pos_gain=args.pos_gain, arg_tta=args.arg_tta,
                          eye_iters=args.eye_iters, arg_eyes=args.arg_eyes, eye_report=args.eye_report,
                          **({"matmul_dtype": args.matmul_dtype}
-                            if args.matmul_dtype else {}))
+                            if args.matmul_dtype else {}),
+                         **({"wire_format": args.wire_format}
+                            if args.wire_format else {}))
     det = FaceDetector(model, cfg)
 
     rng = np.random.RandomState(args.seed)
