@@ -211,6 +211,36 @@ def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
     return ladder
 
 
+def anchor_passes(image: np.ndarray, rows: np.ndarray,
+                  anchor_small_ie: Tuple[float, ...] = ()):
+    """Builds the (image, truth_rows) pass list for one real anchor photo.
+
+    Pass 0 is the native-size photo. For each target inter-eye size (px) in
+    ``anchor_small_ie``, a SMALL-SCALE replica is appended: the photo is
+    downscaled with the product's own prescale method (PIL NEAREST,
+    io.images.load_image semantics) so the MEDIAN face lands at that size —
+    the group-photo regime the ladder is never otherwise asked to spare
+    (native anchors present faces at inter-eye 65-109 px; the product scans
+    19-30 px faces). Targets at or above 0.9x the native size are skipped.
+    Truth rows are scaled with the image. Campaign-7 L0, docs/ROUND4_NOTES.md.
+    """
+    passes = [(image, rows)]
+    ie = np.median(np.hypot(rows[:, 2] - rows[:, 0],
+                            rows[:, 3] - rows[:, 1]))
+    for target in anchor_small_ie:
+        s = float(target) / float(ie)
+        if s >= 0.9:                    # already near/below the target size
+            continue
+        from PIL import Image as _PILImage
+        im = _PILImage.fromarray(
+            np.clip(image * 255.0, 0, 255).astype(np.uint8))
+        w, h = im.size
+        small = im.resize((max(int(w * s), 64), max(int(h * s), 64)),
+                          _PILImage.NEAREST)
+        passes.append((np.asarray(small, np.float32) / 255.0, rows * s))
+    return passes
+
+
 def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
                     canvas: int = 320, angle_max: float = 15.0,
                     q: float = 0.95, margin: float = 1.10,
@@ -308,23 +338,7 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
         for f, rows in by_file.items():
             image, factor = load_image(f, cfg.prescale_size)
             rows = np.stack(rows) * factor
-            passes = [(image, rows)]
-            # Small-scale replicas: downscale so the median face lands at
-            # each target inter-eye size (the group-photo regime).
-            ie = np.median(np.hypot(rows[:, 2] - rows[:, 0],
-                                    rows[:, 3] - rows[:, 1]))
-            for target in anchor_small_ie:
-                s = float(target) / float(ie)
-                if s >= 0.9:            # already near/below the target size
-                    continue
-                from PIL import Image as _PILImage
-                im = _PILImage.fromarray(
-                    np.clip(image * 255.0, 0, 255).astype(np.uint8))
-                w, h = im.size
-                small = im.resize((max(int(w * s), 64), max(int(h * s), 64)),
-                                  _PILImage.NEAREST)
-                passes.append((np.asarray(small, np.float32) / 255.0,
-                               rows * s))
+            passes = anchor_passes(image, rows, anchor_small_ie)
             for p_img, p_rows in passes:
                 fc, bg, cov, nc, eregs = collect_image(det, p_img, p_rows,
                                                        cfg, model)

@@ -154,3 +154,42 @@ def test_serial_disc_graph_trains():
     clf = fit_regressor_classes(feats, cls, avg, input_dim=9)
     pred = np.asarray(clf.regression(jnp.asarray(feats[:, :clf.input_dim])))
     assert pred[cls <= 1].mean() + 0.3 < pred[cls == 9].mean()
+
+
+def test_anchor_small_ie_passes():
+    """anchor_passes builds native + small-scale replica passes: each
+    replica downscales the photo so the MEDIAN inter-eye distance lands at
+    the target (px), scales truth rows with the image, and skips targets
+    at or above 0.9x the native size (campaign-7 L0)."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.training.calibration import anchor_passes
+
+    rng = np.random.RandomState(3)
+    image = rng.rand(400, 500).astype(np.float32)
+    # two truth rows with inter-eye 80 and 120 px (median 100)
+    rows = np.array([
+        [100.0, 100.0, 180.0, 100.0, 140.0, 100.0, 140.0, 140.0,
+         0, 0, 0, 0, 0, 0],
+        [200.0, 200.0, 320.0, 200.0, 260.0, 200.0, 260.0, 260.0,
+         0, 0, 0, 0, 0, 0],
+    ])
+    passes = anchor_passes(image, rows, (25.0, 95.0, 200.0))
+    # 95 px is > 0.9 * 100 native and 200 px is upscaling: both skipped
+    assert len(passes) == 2
+    p_img, p_rows = passes[1]
+    s = 25.0 / 100.0
+    assert p_img.shape == (int(400 * s), int(500 * s))
+    np.testing.assert_allclose(p_rows, rows * s)
+    # replica median inter-eye hits the target
+    ie = np.median(np.hypot(p_rows[:, 2] - p_rows[:, 0],
+                            p_rows[:, 3] - p_rows[:, 1]))
+    assert abs(ie - 25.0) < 1e-6
+    # native pass untouched
+    assert passes[0][0] is image
+
+    # tiny photo: the 64 px floor clamps the resize
+    tiny = rng.rand(70, 70).astype(np.float32)
+    trow = rows[:1] * 0.2
+    passes = anchor_passes(tiny, trow, (2.0,))
+    assert passes[1][0].shape == (64, 64)
