@@ -115,6 +115,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "downscaled real-anchor replicas to the calibration "
                         "spare pool so the ladder also spares real faces at "
                         "group-photo scan sizes (campaign-7 L0)")
+    p.add_argument("--calib_bg_protect", default="",
+                   help="comma-separated ladder serial indices exempt from "
+                        "the bg-budget cap: protected rungs keep their "
+                        "face-calibrated value, the budget is reclaimed "
+                        "from the rest (campaign-7 targeted calibration)")
     p.add_argument("--data_mesh", type=int, default=0,
                    help="shard every network's moment accumulation over an "
                         "N-device data mesh (GSPMD; 0 = single device)")
@@ -140,6 +145,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 calib_bg_budget=args.calib_bg_budget,
                 calib_anchor_small_ie=tuple(
                     float(x) for x in args.calib_anchor_small_ie.split(",")
+                    if x.strip()),
+                calib_bg_protect=tuple(
+                    int(x) for x in args.calib_bg_protect.split(",")
                     if x.strip()),
                 texture_noise=args.texture_noise,
                 texture_noise_bg=args.texture_noise_bg,

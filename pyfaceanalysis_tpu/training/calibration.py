@@ -171,20 +171,31 @@ def background_rate(ladder, bg_images, disc_serials):
 
 
 def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
-               ref=None, log=print):
+               ref=None, log=print, protect=()):
     """Precision cap: interpolate ``face_ladder`` back toward the reference
     constants -- cutoff_t[s] = ref[s] + t (face[s] - ref[s]) -- and
     binary-search the LOOSEST t whose cumulative background survival meets
     ``bg_budget`` windows/image. t=0 (the reference ladder itself) is the
     floor: the cap never tightens below the reference, and a budget
-    unreachable even there is reported, not forced."""
+    unreachable even there is reported, not forced.
+
+    ``protect`` (serial indices) exempts rungs from the interpolation:
+    protected rungs KEEP their face-calibrated value and the budget is
+    reclaimed entirely from the unprotected rungs (which therefore land
+    tighter than an unprotected cap would put them). Motivation
+    (campaign-7 L0, docs/ROUND4_NOTES.md): under a binding budget a
+    uniform cap reclaims exactly the loosening that hard real faces
+    request, so sparing a specific kill-stage (e.g. the Disc5/7/9 rungs
+    that kill TNS faces) requires spending the budget non-uniformly."""
     from pyfaceanalysis_tpu.config import REFERENCE_CUT_OFFS_FACE
 
     ref = list(REFERENCE_CUT_OFFS_FACE) if ref is None else list(ref)
     face_cut = list(face_ladder)
+    protect = set(protect)
 
     def at(t):
-        return [ref[s] + t * (face_cut[s] - ref[s])
+        return [face_cut[s] if s in protect
+                else ref[s] + t * (face_cut[s] - ref[s])
                 for s in range(len(face_cut))]
 
     lo_rate, _, _ = background_rate(at(0.0), bg_images, disc_serials)
@@ -247,6 +258,7 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
                     anchors: str = "data/train_faces_gt.txt",
                     smallest_face: float = 0.15,
                     bg_budget: float = 0.0,
+                    bg_protect: Tuple[int, ...] = (),
                     anchor_small_ie: Tuple[float, ...] = (),
                     verbose: bool = True) -> Dict:
     """Computes the calibrated disc ladder + eye gate for ``model_dir``.
@@ -379,7 +391,7 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
 
     if bg_budget > 0 and bg_per_image > bg_budget:
         ladder = cap_ladder(ladder, bg_images, disc_serials, bg_budget,
-                            log=log)
+                            log=log, protect=bg_protect)
         bg_per_image, passed_bg, total_bg = background_rate(
             ladder, bg_images, disc_serials)
 

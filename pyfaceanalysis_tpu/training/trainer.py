@@ -261,6 +261,11 @@ class TrainConfig:
     # Small-scale real-anchor replicas in the calibration spare pool
     # (campaign-7 L0): target inter-eye sizes in px, () = off.
     calib_anchor_small_ie: tuple = ()
+    # Ladder rungs (serial indices) exempt from the bg-budget cap: they
+    # keep their face-calibrated value and the budget is reclaimed from
+    # the other rungs (campaign-7 L0 mechanism: a uniform cap reclaims
+    # exactly what hard real faces loosen). () = uniform cap.
+    calib_bg_protect: tuple = ()
     # High-frequency texture injection amplitude for ALL training patch
     # batches (datasets._random_patch_blur noise_amp / age_dataset): the
     # measured renderer-vs-photograph gap (docs/domain_gap_r4.json) is
@@ -613,6 +618,7 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
         result = calibration.calibrate_model(
             dest, scenes=cfg.calib_scenes, seed=cfg.calib_seed,
             bg_budget=cfg.calib_bg_budget,
+            bg_protect=tuple(cfg.calib_bg_protect),
             anchor_small_ie=tuple(cfg.calib_anchor_small_ie),
             verbose=verbose)
         calibration.write_calibration(dest, result, verbose=verbose)

@@ -193,3 +193,39 @@ def test_anchor_small_ie_passes():
     trow = rows[:1] * 0.2
     passes = anchor_passes(tiny, trow, (2.0,))
     assert passes[1][0].shape == (64, 64)
+
+
+def test_bg_cap_protected_rungs():
+    """cap_ladder(protect=...) keeps protected rungs at their
+    face-calibrated value and reclaims the budget from the other rungs,
+    which land tighter than under a uniform cap."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.training.calibration import (background_rate,
+                                                         cap_ladder)
+
+    serials = [1, 3]
+    ref = [0.0, 0.2, 0.0, 0.2] + [0.0] * 6
+    face = [0.0, 0.8, 0.0, 0.8] + [0.0] * 6
+    rng = np.random.RandomState(1)
+    bg_images = []
+    for _ in range(10):
+        idx = np.arange(40)
+        bg_images.append({1: (rng.rand(40), idx), 3: (rng.rand(40), idx)})
+
+    uniform = cap_ladder(face, bg_images, serials, bg_budget=5.0, ref=ref,
+                         log=lambda *a, **k: None)
+    prot = cap_ladder(face, bg_images, serials, bg_budget=5.0, ref=ref,
+                      log=lambda *a, **k: None, protect=(3,))
+    # protected rung keeps the loose face value
+    assert prot[3] == face[3]
+    # budget still met
+    rate, _, _ = background_rate(prot, bg_images, serials)
+    assert rate <= 5.0
+    # the unprotected rung pays: tighter than under the uniform cap
+    assert prot[1] < uniform[1]
+    # budget unreachable even with rung 1 at the reference floor:
+    # falls back to the face ladder (reported, not forced)
+    floor = cap_ladder(face, bg_images, serials, bg_budget=0.2, ref=ref,
+                       log=lambda *a, **k: None, protect=(3,))
+    assert floor == list(face)

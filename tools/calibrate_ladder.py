@@ -37,11 +37,17 @@ def main(argv=None):
                          "adds downscaled real-anchor replicas to the "
                          "spare pool so the ladder also spares real faces "
                          "at group-photo scan sizes (campaign-7 L0)")
+    ap.add_argument("--bg_protect", default="",
+                    help="comma-separated ladder serial indices exempt "
+                         "from the bg cap (they keep the face-calibrated "
+                         "value; the budget is reclaimed from the rest)")
     ap.add_argument("--write", action="store_true",
                     help="write the calibrated ladder into the manifest")
     args = ap.parse_args(argv)
     small_ie = tuple(float(x) for x in args.anchor_small_ie.split(",")
                      if x.strip())
+    protect = tuple(int(x) for x in args.bg_protect.split(",")
+                    if x.strip())
 
     from pyfaceanalysis_tpu.training import calibration
 
@@ -49,7 +55,8 @@ def main(argv=None):
         args.model, scenes=args.scenes, seed=args.seed, canvas=args.canvas,
         angle_max=args.angle_max, q=args.q, margin=args.margin,
         anchors=args.anchors, smallest_face=args.smallest_face,
-        bg_budget=args.bg_budget, anchor_small_ie=small_ie)
+        bg_budget=args.bg_budget, bg_protect=protect,
+        anchor_small_ie=small_ie)
     if args.write:
         calibration.write_calibration(args.model, result)
     else:
