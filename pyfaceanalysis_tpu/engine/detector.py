@@ -158,15 +158,21 @@ def _pad_convert(u8: jax.Array, H: int, W: int) -> jax.Array:
 
 def _wire_affine(ncols: int):
     """Per-column (offset, scale) of the u16 fixed-point wire encoding:
-    pixel/degree columns at 1/16 with a +1024 offset (coords may run
-    negative after refinement drift; canvas <= 4095 px), confidence at
-    1/16384 (NMS ranks on it -- 1/16 granularity could reorder ties),
-    validity at 1."""
+    pixel/degree columns at 1/8 with a +1024 offset (coords may run
+    negative after refinement drift; representable range is
+    [-1024, 7167.9] px, so any canvas up to 7167 px round-trips -- scale
+    16 saturated at coord 3071.9, silently clipping grown canvases past
+    3072 px), confidence at 1/16384 (NMS ranks on it -- coarse
+    granularity could reorder ties), validity at 1."""
     off = np.full(ncols, 1024.0, np.float32)
-    scale = np.full(ncols, 16.0, np.float32)
+    scale = np.full(ncols, 8.0, np.float32)
     off[9], scale[9] = 0.0, 16384.0        # confidence
     off[10], scale[10] = 0.0, 1.0          # validity flag
     return off, scale
+
+
+# Largest canvas side the u16 wire encoding represents (see _wire_affine).
+_WIRE_U16_MAX_CANVAS = 7167
 
 
 def _unpack_wire(block: np.ndarray) -> np.ndarray:
@@ -539,6 +545,12 @@ class FaceDetector:
             print(f"notice: input {image.shape} exceeds the device canvas "
                   f"({H}, {W}); growing to ({side}, {side}) "
                   "(new compilation)")
+            if (self.config.wire_format == "u16"
+                    and side > _WIRE_U16_MAX_CANVAS):
+                raise ValueError(
+                    f"canvas {side} px exceeds the u16 wire encoding's "
+                    f"{_WIRE_U16_MAX_CANVAS} px range; rerun with "
+                    f"wire_format='f32' (or enable image prescaling)")
             self._canvas_hw = (side, side)
             H = W = side
         h, w = image.shape

@@ -182,11 +182,15 @@ def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
     ``protect`` (serial indices) exempts rungs from the interpolation:
     protected rungs KEEP their face-calibrated value and the budget is
     reclaimed entirely from the unprotected rungs (which therefore land
-    tighter than an unprotected cap would put them). Motivation
-    (campaign-7 L0, docs/ROUND4_NOTES.md): under a binding budget a
-    uniform cap reclaims exactly the loosening that hard real faces
-    request, so sparing a specific kill-stage (e.g. the Disc5/7/9 rungs
-    that kill TNS faces) requires spending the budget non-uniformly."""
+    tighter than an unprotected cap would put them -- below the reference
+    constants if the protected rungs alone spend the whole budget).
+    Motivation (campaign-7 L0, docs/ROUND4_NOTES.md): under a binding
+    budget a uniform cap reclaims exactly the loosening that hard real
+    faces request, so sparing a specific kill-stage (e.g. the Disc5/7/9
+    rungs that kill TNS faces) requires spending the budget non-uniformly.
+    The no-room floor is always the UNIFORM reference ladder: if even that
+    exceeds the budget, the budget is unreachable by construction and the
+    face-calibrated ladder is returned unchanged (reported, not forced)."""
     from pyfaceanalysis_tpu.config import REFERENCE_CUT_OFFS_FACE
 
     ref = list(REFERENCE_CUT_OFFS_FACE) if ref is None else list(ref)
@@ -194,17 +198,37 @@ def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
     protect = set(protect)
 
     def at(t):
+        # t in [t_floor, 1]; negative t tightens unprotected rungs BELOW
+        # the reference (clamped at 0) to pay for protected rungs.
         return [face_cut[s] if s in protect
-                else ref[s] + t * (face_cut[s] - ref[s])
+                else max(ref[s] + t * (face_cut[s] - ref[s]), 0.0)
                 for s in range(len(face_cut))]
 
-    lo_rate, _, _ = background_rate(at(0.0), bg_images, disc_serials)
-    if lo_rate > bg_budget:
-        log(f"  bg cap: even the reference ladder passes "
-            f"{lo_rate:.1f}/image > budget {bg_budget}; keeping the "
+    floor_rate, _, _ = background_rate(ref, bg_images, disc_serials)
+    if floor_rate > bg_budget:
+        who = (" (with protected rungs at reference values too)"
+               if protect else "")
+        log(f"  bg cap: even the uniform reference ladder{who} passes "
+            f"{floor_rate:.1f}/image > budget {bg_budget}; keeping the "
             f"face-calibrated ladder (cap has no room)")
         return face_cut
-    lo, hi = 0.0, 1.0
+    lo_rate, _, _ = background_rate(at(0.0), bg_images, disc_serials)
+    if lo_rate <= bg_budget:
+        lo, hi = 0.0, 1.0
+    else:
+        # Protected rungs alone blow the budget at t=0: reclaim it from
+        # the unprotected rungs by searching below the reference, down to
+        # the t that puts every unprotected rung at 0 (rate 0 there, so
+        # the budget is reachable whenever any unprotected rung exists).
+        unprot = [s for s in range(len(face_cut))
+                  if s not in protect and face_cut[s] > ref[s]]
+        if not unprot:
+            log(f"  bg cap: no unprotected rung can tighten and rate "
+                f"{lo_rate:.1f} > budget {bg_budget}; keeping the "
+                f"face-calibrated ladder")
+            return face_cut
+        t_floor = min(-ref[s] / (face_cut[s] - ref[s]) for s in unprot)
+        lo, hi = t_floor, 0.0
     for _ in range(20):
         mid = (lo + hi) / 2.0
         r, _, _ = background_rate(at(mid), bg_images, disc_serials)
@@ -213,8 +237,10 @@ def cap_ladder(face_ladder, bg_images, disc_serials, bg_budget,
         else:
             hi = mid
     # Round DOWN (tighter): plain rounding can nudge a cutoff just past
-    # the budget boundary the binary search found.
-    ladder = [int(v * 10000) / 10000.0 for v in at(lo)]
+    # the budget boundary the binary search found. Protected rungs are
+    # exempt -- they keep the face-calibrated value bit-exactly.
+    ladder = [face_cut[s] if s in protect else int(v * 10000) / 10000.0
+              for s, v in enumerate(at(lo))]
     rate, passed, total = background_rate(ladder, bg_images, disc_serials)
     log(f"  bg cap (budget {bg_budget}/image): t={lo:.3f} -> "
         f"{[f'{v:.3f}' for v in ladder]} ({passed}/{total} = "
@@ -246,9 +272,16 @@ def anchor_passes(image: np.ndarray, rows: np.ndarray,
         im = _PILImage.fromarray(
             np.clip(image * 255.0, 0, 255).astype(np.uint8))
         w, h = im.size
-        small = im.resize((max(int(w * s), 64), max(int(h * s), 64)),
-                          _PILImage.NEAREST)
-        passes.append((np.asarray(small, np.float32) / 255.0, rows * s))
+        new_w, new_h = max(int(w * s), 64), max(int(h * s), 64)
+        small = im.resize((new_w, new_h), _PILImage.NEAREST)
+        # Scale rows by the ACTUAL applied per-axis scale (the 64-px floor
+        # can clamp the resize; using the requested s would desync truth
+        # rows from the image and misclassify face windows as background).
+        sx, sy = new_w / float(w), new_h / float(h)
+        scaled = np.asarray(rows, np.float64).copy()
+        scaled[:, 0::2] *= sx
+        scaled[:, 1::2] *= sy
+        passes.append((np.asarray(small, np.float32) / 255.0, scaled))
     return passes
 
 
@@ -415,7 +448,7 @@ def calibrate_model(model_dir: str, scenes: int = 40, seed: int = 1234,
 
     return {"cut_offs_face": ladder, "tolerance_xy_eye": eye_tol,
             "bg_per_image": bg_per_image, "faces": total_faces,
-            "converged": total_conv}
+            "converged": total_conv, "bg_protect": sorted(bg_protect)}
 
 
 def write_calibration(model_dir: str, result: Dict,
@@ -425,14 +458,18 @@ def write_calibration(model_dir: str, result: Dict,
     Final gate: keep the STRICTER of the trainer's residual-patch estimate
     and the converged-trajectory quantile (round-2 measurement: loosening
     the final gate bought +0.05 recall but +0.75 FP/image -- precision
-    lives at the final gate, recall at the mid-ladder ones).
+    lives at the final gate, recall at the mid-ladder ones). EXCEPT when
+    rung 9 is bg-budget-protected (campaign-7 L1b): protection exists to
+    spare a declared kill-stage, the min-clamp would silently undo it, and
+    the FP cost is already bounded by the cumulative background budget
+    (reclaimed from the unprotected rungs).
     """
     path = os.path.join(model_dir, "manifest.json")
     with open(path) as f:
         manifest = json.load(f)
     ladder = list(result["cut_offs_face"])
     last = manifest.get("calibration", {}).get("last_cut_off_face")
-    if last is not None:
+    if last is not None and 9 not in set(result.get("bg_protect", ())):
         ladder[9] = min(ladder[9], round(float(last), 4))
     manifest.setdefault("calibration", {})["cut_offs_face"] = ladder
     manifest["calibration"]["last_cut_off_face"] = ladder[9]

@@ -121,6 +121,45 @@ def score_candidate(model_dir: str, n_scenes: int = 48,
     return out
 
 
+def score_tns(model_dir: str, gt_file: str = "data/tns_group_gt.txt",
+              image: str = "/root/reference/sample_images/TNS-Group.jpg",
+              smallest_face: float = 0.1) -> Optional[Dict]:
+    """TNS ship-gate measurement (campaign-7 protocol change,
+    docs/ROUND4_NOTES.md): detection-only TP/FP/FN of ``model_dir`` on the
+    reference's flagship demo photo (README.md:43, 8-face Haar GT).
+
+    TNS-Group.jpg stays strictly EXCLUDED from training, mining,
+    calibration-fit and candidate selection; this function exists only so
+    the final winner's promotion can be gated on "TNS TP >= 4 AND
+    FP <= 2" -- campaign 4 shipped a silent flagship-demo regression
+    because the guard could not see the one photo the reference ships as
+    its acceptance demo. Returns None when the assets are unavailable."""
+    if not (os.path.exists(gt_file) and os.path.exists(image)):
+        return None
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import (DetectionModel,
+                                                    FaceDetector)
+    from pyfaceanalysis_tpu.engine.evaluation import GroundTruthEvaluator
+    from pyfaceanalysis_tpu.io.images import load_image
+
+    model = DetectionModel.load(model_dir)
+    det = FaceDetector(model, DetectorConfig(smallest_face=smallest_face))
+    ev = GroundTruthEvaluator.from_files(gt_file)
+    img, factor = load_image(image, det.config.prescale_size)
+    dets = det.detect(img, estimate_attributes=False)
+    ev.record(image, dets, prescale_factor=factor)
+    return {"tp": ev.true_positives, "fp": ev.false_positives,
+            "fn": ev.false_negatives}
+
+
+def tns_gate(tns: Optional[Dict], min_tp: int = 4, max_fp: int = 2) -> Dict:
+    """Applies the declared TNS ship-gate thresholds (TP >= 4, FP <= 2 --
+    the pre-campaign-4 artifacts' level) to a :func:`score_tns` result."""
+    ok = bool(tns) and tns["tp"] >= min_tp and tns["fp"] <= max_fp
+    return {"result": tns, "min_tp": min_tp, "max_fp": max_fp,
+            "pass": ok, "evaluated": tns is not None}
+
+
 def select(scores: Sequence[Dict], recall_floor: float = 0.73,
            verbose: bool = True) -> Optional[int]:
     """Applies the declared rule to a list of score dicts (each optionally

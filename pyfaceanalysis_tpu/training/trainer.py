@@ -246,7 +246,11 @@ class TrainConfig:
     # anchors (training.selection), and ships the winner of the declared
     # rule. () = legacy single train on the base key.
     disc_seeds: tuple = ()
-    selection_scenes: int = 48
+    # n=200: every 48-scene decision number in round 4 sat inside the
+    # n=200 panel's own CIs (recall +-0.06 at n=48) -- panels that pick
+    # winners or gate ships must be outside their own noise (VERDICT r4
+    # weak #3). 48 remains available for quick interactive sweeps.
+    selection_scenes: int = 200
     selection_seed: int = 777       # training-side; 999 stays held out
     recall_floor: float = 0.73
     # Ladder + eye-gate calibration as the trainer's closing step
@@ -670,6 +674,22 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                 f"falling back to least-bad candidate {win}")
         log(f"[train] selected disc seed {cfg.disc_seeds[win]} "
             f"(candidate {win}); promoting to {out_dir}")
+        # TNS ship gate (campaign-7 protocol change): TNS-Group.jpg is
+        # quarantined from training/mining/calibration/selection, but the
+        # WINNER is measured on it so no promotion can silently trade the
+        # reference's flagship demo away (campaign-4 regression mechanism).
+        tns = selection.tns_gate(selection.score_tns(cand_dirs[win]))
+        if tns["evaluated"]:
+            r = tns["result"]
+            log(f"[train] TNS ship gate on the winner: {r['tp']}TP/"
+                f"{r['fp']}FP/{r['fn']}FN vs TP>={tns['min_tp']} "
+                f"FP<={tns['max_fp']} -> "
+                f"{'PASS' if tns['pass'] else 'FAIL'}")
+            if not tns["pass"]:
+                log("[train] WARNING: the selected winner FAILS the TNS "
+                    "ship gate -- do NOT promote these artifacts to "
+                    "production without a declared rule overriding it "
+                    "(disc_selection.json carries the measurement)")
         import shutil
         for f in os.listdir(cand_dirs[win]):
             shutil.copy2(os.path.join(cand_dirs[win], f),
@@ -681,7 +701,8 @@ def train_pipeline(out_dir: str, cfg: TrainConfig = TrainConfig(),
                         "selected_seed": int(cfg.disc_seeds[win]),
                         "rule": "anchors fn==0 & tp>=3; recall>=floor -> "
                                 "min fp; else max recall",
-                        "recall_floor": cfg.recall_floor}, f, indent=1)
+                        "recall_floor": cfg.recall_floor,
+                        "tns_gate": tns}, f, indent=1)
     else:
         d_nets, d_clfs = _train_discs(keys[2], keys[3])
         nets.update(d_nets)

@@ -150,3 +150,31 @@ def test_mesh_trainer_matches_single_device():
         cc = np.linalg.svd(qr_r.T @ qr_o, compute_uv=False)
         assert cc.mean() > 0.98 and cc.min() > 0.9, (
             f"{graph}: canonical correlations {cc}")
+
+
+def test_detect_stream_mesh_matches_unsharded():
+    """The streamed serving path (detect_stream -- what a production batch
+    job runs) under a data_mesh=8 FaceDetector reproduces the unsharded
+    detections exactly (same bucket shapes; GSPMD only splits the window
+    batch axis). VERDICT r4 next #7."""
+    import __graft_entry__
+
+    rng = np.random.RandomState(7)
+    batches = [[rng.rand(96, 112).astype(np.float32) for _ in range(2)]
+               for _ in range(2)]
+
+    det_mesh = __graft_entry__._toy_detector(8)
+    det_single = __graft_entry__._toy_detector(0, bucket_lanes=8)
+
+    got = list(det_mesh.detect_stream(iter(batches),
+                                      estimate_attributes=False))
+    ref = [det_single.detect_batch(b, estimate_attributes=False)
+           for b in batches]
+    assert len(got) == len(ref) == 2
+    for gb, rb in zip(got, ref):
+        assert [len(d) for d in gb] == [len(d) for d in rb]
+        for gi, ri in zip(gb, rb):
+            for g, r in zip(gi, ri):
+                np.testing.assert_allclose(g.box, r.box, atol=1e-4)
+                np.testing.assert_allclose(g.confidence, r.confidence,
+                                           atol=1e-4)

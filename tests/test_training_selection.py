@@ -229,3 +229,55 @@ def test_bg_cap_protected_rungs():
     floor = cap_ladder(face, bg_images, serials, bg_budget=0.2, ref=ref,
                        log=lambda *a, **k: None, protect=(3,))
     assert floor == list(face)
+
+
+def test_anchor_passes_clamped_rows_match_image():
+    """When the 64-px resize floor clamps a replica, truth rows are scaled
+    by the ACTUAL per-axis scale of the produced image, not the requested
+    one (ADVICE r4 #1: a desynced row misclassifies the face window as
+    background in the calibration pools)."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.training.calibration import anchor_passes
+
+    rng = np.random.RandomState(5)
+    tiny = rng.rand(70, 90).astype(np.float32)
+    row = np.array([[20.0, 30.0, 36.0, 30.0, 28.0, 30.0, 28.0, 44.0,
+                     28.0, 37.0, 10.0, 20.0, 46.0, 54.0]])
+    passes = anchor_passes(tiny, row, (2.0,))          # s = 2/16 = 0.125
+    p_img, p_rows = passes[1]
+    assert p_img.shape == (64, 64)                     # floor clamped
+    sx, sy = 64 / 90.0, 64 / 70.0
+    np.testing.assert_allclose(p_rows[:, 0::2], row[:, 0::2] * sx)
+    np.testing.assert_allclose(p_rows[:, 1::2], row[:, 1::2] * sy)
+
+
+def test_write_calibration_protected_rung9_skips_min_clamp(tmp_path):
+    """The final-gate min-clamp (keep the stricter of the trainer's
+    residual estimate and the trajectory quantile) is skipped when rung 9
+    is bg-budget-protected -- protection exists to spare a declared
+    kill-stage and the clamp would silently undo it (campaign-7 L1b)."""
+    import json
+
+    from pyfaceanalysis_tpu.training.calibration import write_calibration
+
+    def manifest_with_last(last, tag=""):
+        d = tmp_path / f"m_{last}{tag}"
+        d.mkdir()
+        (d / "manifest.json").write_text(json.dumps(
+            {"calibration": {"last_cut_off_face": last}}))
+        return str(d)
+
+    ladder = [0.9] * 9 + [0.381]
+    base = {"cut_offs_face": ladder, "tolerance_xy_eye": 9.0}
+
+    d = manifest_with_last(0.2353)
+    write_calibration(d, dict(base), verbose=False)
+    m = json.load(open(d + "/manifest.json"))
+    assert m["calibration"]["cut_offs_face"][9] == 0.2353  # clamped
+
+    d2 = manifest_with_last(0.2353, "_p")
+    write_calibration(d2, dict(base, bg_protect=[9]), verbose=False)
+    m2 = json.load(open(d2 + "/manifest.json"))
+    assert m2["calibration"]["cut_offs_face"][9] == 0.381   # protected
+    assert m2["calibration"]["last_cut_off_face"] == 0.381

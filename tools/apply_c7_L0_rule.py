@@ -19,7 +19,10 @@ tns_log = open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/c7/L0_tns.log").read(
 m = re.search(r"ground-truth evaluation:\s*\n\s*true positives:\s*(\d+)\s*\n"
               r"\s*false positives:\s*(\d+)\s*\n\s*false negatives:\s*(\d+)",
               tns_log)
-tns_tp, tns_fp, tns_fn = (int(g) for g in m.groups()) if m else (-1, -1, -1)
+if m is None:
+    sys.exit("FATAL: TNS log has no ground-truth evaluation block "
+             "(malformed or missing log) -- refusing to evaluate the rule")
+tns_tp, tns_fp, tns_fn = (int(g) for g in m.groups())
 
 tot = anch["total"]
 checks = {
