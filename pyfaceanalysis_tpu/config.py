@@ -144,12 +144,15 @@ class DetectorConfig:
 
     # Result-block wire encoding for the fused batch path (TPU extension).
     # "f32" = exact. "u16" = fixed-point pack on device (coords/angle at
-    # 1/16 px, confidence at 1/16384), halving the device->host result
-    # pull on tunneled links (measured round 4: 49 ms -> ~9 ms per
-    # batch-16 block). Quantization <= 1/32 px is far below every
-    # acceptance tolerance, but not bit-identical -- keep "f32" when
-    # comparing against f32-era panel numbers.
-    wire_format: str = "f32"
+    # 1/16 px -- 1/8 on grown canvases past 3071 px, see
+    # engine.detector._wire_coord_scale -- confidence at 1/16384), halving
+    # the device->host result pull on tunneled links (measured round 4:
+    # 49 ms -> ~9 ms per batch-16 block). Default flipped to "u16" by the
+    # pre-registered A7 gate (round 5): 48-scene seed-999 panel recall/FP/
+    # eye identical to f32, age MAE within 0.02y, anchors TP/FP/FN
+    # identical (docs/campaign4/a7_*.json, tools/apply_a7_rule.py). Not
+    # bit-identical -- set "f32" when comparing against f32-era panels.
+    wire_format: str = "u16"
 
     # Largest image count per fused cascade program; bigger detect_batch
     # calls are chunked. The Pallas crop kernel keeps per-window scalar

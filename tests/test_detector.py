@@ -397,7 +397,7 @@ class TestDetectEndToEnd:
             blocks[wf] = np.asarray(fut)
         from pyfaceanalysis_tpu.engine.detector import _unpack_wire
         assert blocks["u16"].dtype == np.uint16
-        got = _unpack_wire(blocks["u16"])
+        got = _unpack_wire(blocks["u16"], 2048)
         ref = blocks["f32"]
         # validity exact; coords/angle to 1/32 px; confidence to 1/32768
         np.testing.assert_array_equal(got[..., 10], ref[..., 10])
@@ -699,3 +699,29 @@ def test_pad_convert_matches_host_canvas():
     got_b = np.asarray(_pad_convert(jnp.asarray(batch), 64, 128))
     assert got_b.shape == (2, 64, 128)
     np.testing.assert_allclose(got_b[0], ref, atol=1e-7)
+
+
+def test_wire_coord_scale_by_canvas():
+    """u16 coordinate scale: 1/16 px while the canvas fits the 16x range,
+    1/8 px for grown canvases (the flat 16x encoding clipped coords past
+    3071.9 px); round-trip at a grown-canvas coordinate works."""
+    import numpy as np
+
+    from pyfaceanalysis_tpu.engine.detector import (_unpack_wire,
+                                                    _wire_affine,
+                                                    _wire_coord_scale)
+
+    assert _wire_coord_scale(1000) == 16.0
+    assert _wire_coord_scale(3071) == 16.0
+    assert _wire_coord_scale(3072) == 8.0
+    assert _wire_coord_scale(7167) == 8.0
+    # A 4000-px coordinate saturates at 16x but round-trips at 8x.
+    off16, sc16 = _wire_affine(11, 16.0)
+    off8, sc8 = _wire_affine(11, 8.0)
+    v = np.zeros((1, 11), np.float32)
+    v[0, 0] = 4000.0
+    p16 = np.clip(np.round((v + off16) * sc16), 0, 65535).astype(np.uint16)
+    p8 = np.clip(np.round((v + off8) * sc8), 0, 65535).astype(np.uint16)
+    assert (p16[0, 0].astype(np.float32) / 16 - 1024) < 3500   # clipped
+    back = _unpack_wire(p8, 4096)
+    assert abs(back[0, 0] - 4000.0) <= 1.0 / 8
