@@ -725,3 +725,31 @@ def test_wire_coord_scale_by_canvas():
     assert (p16[0, 0].astype(np.float32) / 16 - 1024) < 3500   # clipped
     back = _unpack_wire(p8, 4096)
     assert abs(back[0, 0] - 4000.0) <= 1.0 / 8
+
+
+def test_detect_stream_propagates_source_error(loaded_model):
+    """An exception raised by the batch SOURCE mid-stream must surface to
+    the consumer (the producer thread forwards it through the ready
+    queue). Pipelining means the error may preempt in-flight batches --
+    the contract is that it is raised, not swallowed, and the helper
+    threads wind down."""
+    import pytest
+
+    from pyfaceanalysis_tpu.config import DetectorConfig
+    from pyfaceanalysis_tpu.engine.detector import FaceDetector
+
+    cfg = DetectorConfig(smallest_face=0.4, bucket_sizes=(256, 1024, 4096),
+                         cut_offs_face=(1.01,) * 10)
+    det = FaceDetector(loaded_model, cfg)
+    rng = np.random.RandomState(2)
+    good = [rng.rand(100, 120).astype(np.float32) for _ in range(2)]
+
+    def source():
+        yield good
+        raise ValueError("boom in the batch source")
+
+    with pytest.raises(ValueError, match="boom in the batch source"):
+        list(det.detect_stream(source(), estimate_attributes=False))
+    import threading
+    assert not [t for t in threading.enumerate()
+                if t.name.startswith("pfa-stream") and t.is_alive()]
