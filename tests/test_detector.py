@@ -247,9 +247,12 @@ class TestDetectEndToEnd:
 
     def test_detect_batch_matches_sequential(self, loaded_model):
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        # f32 wire: compares the fused batch against the per-image path,
+        # which pulls f32 blocks (u16 has its own equality test).
         cfg = DetectorConfig(smallest_face=0.4,
                              bucket_sizes=(256, 1024, 4096),
-                             cut_offs_face=(1.01,) * 10)
+                             cut_offs_face=(1.01,) * 10,
+                             wire_format="f32")
         det = FaceDetector(loaded_model, cfg)
         rng = np.random.RandomState(3)
         images = [rng.rand(100, 120).astype(np.float32) for _ in range(3)]
@@ -354,9 +357,11 @@ class TestDetectEndToEnd:
         several fused programs with unchanged results (the Pallas crop
         kernel's SMEM scalar metadata caps the per-program image count)."""
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        # f32 wire: the chunking checks compare against per-image detect.
         cfg = DetectorConfig(smallest_face=0.4,
                              bucket_sizes=(256, 1024, 4096),
-                             cut_offs_face=(1.01,) * 10, max_fused_batch=2)
+                             cut_offs_face=(1.01,) * 10, max_fused_batch=2,
+                             wire_format="f32")
         det = FaceDetector(loaded_model, cfg)
         rng = np.random.RandomState(5)
         imgs = [rng.rand(100, 120).astype(np.float32) for _ in range(5)]
@@ -513,9 +518,13 @@ class TestDetectEndToEnd:
         """The fused multi-image block carries the refined-eye columns
         too: detect_batch at eye_iters=2 equals per-image detect."""
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
+        # wire_format pinned to f32: this test compares the fused BATCH
+        # path against the per-image path (f32 block); the u16 encoding
+        # has its own equality test and would add 1/16-px quantization.
         cfg = DetectorConfig(smallest_face=0.4, eye_iters=2,
                              bucket_sizes=(256, 1024, 4096),
-                             cut_offs_face=(1.01,) * 10)
+                             cut_offs_face=(1.01,) * 10,
+                             wire_format="f32")
         det = FaceDetector(loaded_model, cfg)
         rng = np.random.RandomState(5)
         images = [rng.rand(100, 120).astype(np.float32) for _ in range(2)]
@@ -613,10 +622,13 @@ class TestDetectEndToEnd:
         from pyfaceanalysis_tpu.engine.detector import FaceDetector
         rng = np.random.RandomState(11)
         images = [rng.rand(100, 120).astype(np.float32) for _ in range(3)]
+        # wire_format pinned to f32: fused-vs-async path equivalence is
+        # what is under test; the async path pulls f32 blocks.
         base = DetectorConfig(smallest_face=0.4,
                               bucket_sizes=(256, 1024, 4096),
                               cut_offs_face=(1.01,) * 10,
-                              mid_compact=16, mid_compact2=8)
+                              mid_compact=16, mid_compact2=8,
+                              wire_format="f32")
         fused = FaceDetector(loaded_model, base).detect_batch(
             images, estimate_attributes=False)
         async_ = FaceDetector(
